@@ -1,0 +1,36 @@
+"""Global numerical configuration.
+
+The reference keeps two module-level knobs: ``B.epsilon`` (Cholesky jitter,
+``/root/reference/README_without_examples.md:811-822``) and ``Measure.default``.
+We keep an explicit, dtype-aware jitter policy instead: float64 paths get the
+reference's 1e-12, float32/bfloat16 paths (the TPU MXU path) get a larger
+default suited to single precision.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ["epsilon", "jitter", "set_epsilon"]
+
+#: Global jitter override. ``None`` means "dtype-aware default".
+epsilon = None
+
+_DTYPE_EPSILON = {
+    jnp.dtype(jnp.float64): 1e-12,
+    jnp.dtype(jnp.float32): 1e-8,
+    jnp.dtype(jnp.bfloat16): 1e-4,
+}
+
+
+def set_epsilon(value):
+    """Set the global Cholesky jitter. ``None`` restores dtype-aware defaults."""
+    global epsilon
+    epsilon = value
+
+
+def jitter(dtype) -> float:
+    """Cholesky jitter for ``dtype``: the global override if set, else a
+    dtype-aware default (1e-12 for float64, matching the reference's
+    ``B.epsilon``; 1e-8 for float32)."""
+    if epsilon is not None:
+        return epsilon
+    return _DTYPE_EPSILON.get(jnp.dtype(dtype), 1e-8)

@@ -1,0 +1,987 @@
+"""Kernel expression algebra.
+
+TPU-native replacement for the ``mlkernels`` dependency of the reference
+(surface surveyed in SURVEY.md §2.9: EQ, RQ, Matern-1/2·3/2·5/2, Linear,
+Delta, One/Zero kernels, TensorProduct, and the transforms
+stretch/shift/select/transform/diff/periodic with per-argument asymmetric
+variants used by the measure's cross-kernel rules, e.g.
+``/root/reference/stheno/model/measure.py:286,304,322,340,359``).
+
+Kernels are immutable expression objects. Evaluation is by type dispatch at
+trace time: ``pairwise(k, x, y)`` returns a *structured* matrix
+(Linear -> LowRank, Delta -> Diagonal, One -> Constant, Zero -> Zero) so the
+downstream linear algebra picks closed-form fast paths, exactly as the
+reference gets from its ``matrix`` package. Derivative kernels use JAX
+autodiff — the reference could only differentiate kernels symbolically on
+TensorFlow; here ``k.diff(dim)`` works natively.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..matrix import (
+    Constant,
+    Dense,
+    Diagonal,
+    LowRank,
+    Zero,
+    add as mat_add,
+    multiply as mat_multiply,
+    scale as mat_scale,
+)
+from .util import as_fn_output, num_elements_arr, uprank
+
+__all__ = [
+    "Kernel",
+    "ZeroKernel",
+    "OneKernel",
+    "EQ",
+    "RQ",
+    "Exp",
+    "Matern12",
+    "Matern32",
+    "Matern52",
+    "Linear",
+    "Delta",
+    "TensorProductKernel",
+    "SumKernel",
+    "ProductKernel",
+    "ScaledKernel",
+    "StretchedKernel",
+    "ShiftedKernel",
+    "SelectedKernel",
+    "InputTransformedKernel",
+    "PeriodicKernel",
+    "DerivativeKernel",
+    "pw_dists2",
+    "ew_dists2",
+]
+
+
+# ---------------------------------------------------------------------------
+# Distance helpers (MXU-friendly: the inner product dominates and maps to a
+# matmul; see SURVEY.md §2.11 item 1).
+# ---------------------------------------------------------------------------
+
+
+def pw_dists2(x, y):
+    """Pairwise squared distances ``(..., n, m)`` between rows of
+    ``x (..., n, d)`` and ``y (..., m, d)`` via the matmul identity."""
+    if x is y:
+        norms = jnp.sum(x * x, axis=-1)
+        inner = jnp.matmul(x, jnp.swapaxes(x, -1, -2))
+        d2 = norms[..., :, None] + norms[..., None, :] - 2 * inner
+    else:
+        xn = jnp.sum(x * x, axis=-1)
+        yn = jnp.sum(y * y, axis=-1)
+        inner = jnp.matmul(x, jnp.swapaxes(y, -1, -2))
+        d2 = xn[..., :, None] + yn[..., None, :] - 2 * inner
+    return jnp.maximum(d2, 0)
+
+
+def ew_dists2(x, y):
+    """Elementwise squared distances ``(..., n, 1)``."""
+    if x is y:
+        return jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+    d = x - y
+    return jnp.sum(d * d, axis=-1, keepdims=True)
+
+
+def _safe_sqrt(d2):
+    """sqrt with a well-defined (zero) gradient at 0."""
+    return jnp.sqrt(d2 + 1e-36)
+
+
+def _is_function(obj):
+    return callable(obj) and not isinstance(obj, Kernel)
+
+
+def _param_eq(a, b):
+    try:
+        return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+    except Exception:
+        return a is b
+
+
+# ---------------------------------------------------------------------------
+# Base class.
+# ---------------------------------------------------------------------------
+
+
+class Kernel:
+    """Base kernel. Calling a kernel evaluates the Gram matrix:
+    ``k(x)``/``k(x, y)`` -> structured matrix; ``k.elwise(x, y)`` -> column."""
+
+    def __call__(self, x, y=None):
+        from .eval import pairwise
+
+        return pairwise(self, x, y)
+
+    def elwise(self, x, y=None):
+        from .eval import elwise
+
+        return elwise(self, x, y)
+
+    # -- evaluation on plain (upranked) array inputs; override in subclasses.
+
+    def _pairwise(self, x, y):  # pragma: no cover - abstract
+        raise NotImplementedError(
+            f"pairwise not implemented for {type(self).__name__}."
+        )
+
+    def _elwise(self, x, y):
+        # Default: diagonal of pairwise via elementwise formula subclasses
+        # should override when cheaper.
+        raise NotImplementedError(
+            f"elwise not implemented for {type(self).__name__}."
+        )
+
+    def _scalar(self, x, y):  # pragma: no cover - abstract
+        """Evaluate on a single pair of input vectors ``(d,)`` — the autodiff
+        path used by :class:`DerivativeKernel`."""
+        raise NotImplementedError(
+            f"scalar evaluation not implemented for {type(self).__name__}."
+        )
+
+    # -- algebra ----------------------------------------------------------
+
+    def __add__(self, other):
+        if isinstance(other, Kernel):
+            if isinstance(other, ZeroKernel):
+                return self
+            if isinstance(self, ZeroKernel):
+                return other
+            return SumKernel(self, other)
+        if _is_function(other):
+            return self + TensorProductKernel(other)
+        # Numeric.
+        if _param_eq(other, 0):
+            return self
+        return self + ScaledKernel(OneKernel(), other)
+
+    def __radd__(self, other):
+        return self.__add__(other)
+
+    def __mul__(self, other):
+        if isinstance(other, Kernel):
+            if isinstance(other, ZeroKernel) or isinstance(self, ZeroKernel):
+                return ZeroKernel()
+            if isinstance(other, OneKernel):
+                return self
+            if isinstance(self, OneKernel):
+                return other
+            return ProductKernel(self, other)
+        if _is_function(other):
+            return ProductKernel(self, TensorProductKernel(other))
+        if _param_eq(other, 1):
+            return self
+        if isinstance(self, ZeroKernel):
+            return self
+        return ScaledKernel(self, other)
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+    def __neg__(self):
+        return ScaledKernel(self, -1)
+
+    def __sub__(self, other):
+        return self + (-1 * other if isinstance(other, Kernel) else -other)
+
+    # -- transforms (1 arg: both sides; 2 args: per-argument) -------------
+
+    def stretch(self, *stretches):
+        s1, s2 = _expand_two(stretches)
+        return StretchedKernel(self, s1, s2)
+
+    def shift(self, *shifts):
+        s1, s2 = _expand_two(shifts)
+        return ShiftedKernel(self, s1, s2)
+
+    def select(self, *dims):
+        d1, d2 = _expand_two(dims)
+        return SelectedKernel(self, d1, d2)
+
+    def transform(self, *fs):
+        f1, f2 = _expand_two(fs)
+        return InputTransformedKernel(self, f1, f2)
+
+    def diff(self, *dims):
+        d1, d2 = _expand_two(dims, allow_single_none=True)
+        return DerivativeKernel(self, d1, d2)
+
+    def periodic(self, period=1):
+        return PeriodicKernel(self, period)
+
+    @property
+    def stationary(self):
+        return False
+
+    # -- display ----------------------------------------------------------
+
+    def display(self, formatter=lambda x: x):
+        return self._render(formatter)
+
+    def _render(self, formatter):  # pragma: no cover - fallback
+        return type(self).__name__
+
+    def __str__(self):
+        return self.display()
+
+    def __repr__(self):
+        return self.display()
+
+    def __eq__(self, other):
+        return NotImplemented if not isinstance(other, Kernel) else self is other
+
+    def __hash__(self):
+        return id(self)
+
+
+def _expand_two(args, allow_single_none=False):
+    if len(args) == 1:
+        if args[0] is None and not allow_single_none:
+            raise ValueError("Transform argument cannot be None.")
+        return args[0], args[0]
+    if len(args) == 2:
+        return args
+    raise ValueError(f"Expected 1 or 2 transform arguments, got {len(args)}.")
+
+
+# ---------------------------------------------------------------------------
+# Leaf kernels.
+# ---------------------------------------------------------------------------
+
+
+class ZeroKernel(Kernel):
+    """k(x, y) = 0."""
+
+    def _pairwise(self, x, y):
+        return Zero(x.dtype, x.shape[-2], y.shape[-2])
+
+    def _elwise(self, x, y):
+        return jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+
+    def _scalar(self, x, y):
+        return jnp.asarray(0, dtype=x.dtype)
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "0"
+
+    def __eq__(self, other):
+        return isinstance(other, ZeroKernel)
+
+    __hash__ = Kernel.__hash__
+
+
+class OneKernel(Kernel):
+    """k(x, y) = 1."""
+
+    def _pairwise(self, x, y):
+        return Constant(
+            jnp.ones(jnp.broadcast_shapes(x.shape[:-2], y.shape[:-2]), x.dtype),
+            x.shape[-2],
+            y.shape[-2],
+        )
+
+    def _elwise(self, x, y):
+        return jnp.ones(x.shape[:-1] + (1,), dtype=x.dtype)
+
+    def _scalar(self, x, y):
+        return jnp.asarray(1, dtype=x.dtype)
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "1"
+
+    def __eq__(self, other):
+        return isinstance(other, OneKernel)
+
+    __hash__ = Kernel.__hash__
+
+
+class EQ(Kernel):
+    """Exponentiated-quadratic kernel ``exp(-||x - y||^2 / 2)``."""
+
+    def _pairwise(self, x, y):
+        return Dense(jnp.exp(-0.5 * pw_dists2(x, y)))
+
+    def _elwise(self, x, y):
+        return jnp.exp(-0.5 * ew_dists2(x, y))
+
+    def _scalar(self, x, y):
+        d = x - y
+        return jnp.exp(-0.5 * jnp.sum(d * d))
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "EQ()"
+
+    def __eq__(self, other):
+        return isinstance(other, EQ)
+
+    __hash__ = Kernel.__hash__
+
+
+class RQ(Kernel):
+    """Rational-quadratic kernel ``(1 + ||x-y||^2 / (2 alpha))^(-alpha)``."""
+
+    def __init__(self, alpha):
+        self.alpha = alpha
+
+    def _pairwise(self, x, y):
+        return Dense((1 + pw_dists2(x, y) / (2 * self.alpha)) ** (-self.alpha))
+
+    def _elwise(self, x, y):
+        return (1 + ew_dists2(x, y) / (2 * self.alpha)) ** (-self.alpha)
+
+    def _scalar(self, x, y):
+        d = x - y
+        return (1 + jnp.sum(d * d) / (2 * self.alpha)) ** (-self.alpha)
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return f"RQ({formatter(self.alpha)})"
+
+    def __eq__(self, other):
+        return isinstance(other, RQ) and _param_eq(self.alpha, other.alpha)
+
+    __hash__ = Kernel.__hash__
+
+
+class Matern12(Kernel):
+    """Matern-1/2 (exponential) kernel ``exp(-||x - y||)``."""
+
+    def _pairwise(self, x, y):
+        return Dense(jnp.exp(-_safe_sqrt(pw_dists2(x, y))))
+
+    def _elwise(self, x, y):
+        return jnp.exp(-_safe_sqrt(ew_dists2(x, y)))
+
+    def _scalar(self, x, y):
+        d = x - y
+        return jnp.exp(-_safe_sqrt(jnp.sum(d * d)))
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "Exp()"
+
+    def __eq__(self, other):
+        return isinstance(other, Matern12)
+
+    __hash__ = Kernel.__hash__
+
+
+Exp = Matern12
+
+
+class Matern32(Kernel):
+    """Matern-3/2 kernel."""
+
+    def _apply(self, d):
+        r = math.sqrt(3) * d
+        return (1 + r) * jnp.exp(-r)
+
+    def _pairwise(self, x, y):
+        return Dense(self._apply(_safe_sqrt(pw_dists2(x, y))))
+
+    def _elwise(self, x, y):
+        return self._apply(_safe_sqrt(ew_dists2(x, y)))
+
+    def _scalar(self, x, y):
+        d = x - y
+        return self._apply(_safe_sqrt(jnp.sum(d * d)))
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "Matern32()"
+
+    def __eq__(self, other):
+        return isinstance(other, Matern32)
+
+    __hash__ = Kernel.__hash__
+
+
+class Matern52(Kernel):
+    """Matern-5/2 kernel."""
+
+    def _apply(self, d):
+        r = math.sqrt(5) * d
+        return (1 + r + r * r / 3) * jnp.exp(-r)
+
+    def _pairwise(self, x, y):
+        return Dense(self._apply(_safe_sqrt(pw_dists2(x, y))))
+
+    def _elwise(self, x, y):
+        return self._apply(_safe_sqrt(ew_dists2(x, y)))
+
+    def _scalar(self, x, y):
+        d = x - y
+        return self._apply(_safe_sqrt(jnp.sum(d * d)))
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "Matern52()"
+
+    def __eq__(self, other):
+        return isinstance(other, Matern52)
+
+    __hash__ = Kernel.__hash__
+
+
+class Linear(Kernel):
+    """Linear kernel ``x^T y``. The Gram matrix is exactly low-rank, so it is
+    returned as :class:`LowRank` — this is what makes Bayesian linear
+    regression (``readme_example6_blr.py``) O(N) instead of O(N^3)."""
+
+    def _pairwise(self, x, y):
+        if x is y:
+            return LowRank(x)
+        return LowRank(x, y)
+
+    def _elwise(self, x, y):
+        return jnp.sum(x * y, axis=-1, keepdims=True)
+
+    def _scalar(self, x, y):
+        return jnp.sum(x * y)
+
+    @property
+    def stationary(self):
+        return False
+
+    def _render(self, formatter):
+        return "Linear()"
+
+    def __eq__(self, other):
+        return isinstance(other, Linear)
+
+    __hash__ = Kernel.__hash__
+
+
+class Delta(Kernel):
+    """Kronecker-delta kernel: 1 iff the two inputs are (numerically) equal.
+    When both arguments are *the same object*, the Gram is the identity and is
+    returned as :class:`Diagonal` (reference semantics:
+    ``README_without_examples.md:769-776``)."""
+
+    def __init__(self, epsilon=1e-10):
+        self.epsilon = epsilon
+
+    def _pairwise(self, x, y):
+        if x is y:
+            return Diagonal(jnp.ones(x.shape[:-1], dtype=x.dtype))
+        return Dense(
+            jnp.asarray(pw_dists2(x, y) <= self.epsilon**2, dtype=x.dtype)
+        )
+
+    def _elwise(self, x, y):
+        if x is y:
+            return jnp.ones(x.shape[:-1] + (1,), dtype=x.dtype)
+        return jnp.asarray(ew_dists2(x, y) <= self.epsilon**2, dtype=x.dtype)
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "Delta()"
+
+    def __eq__(self, other):
+        return isinstance(other, Delta) and _param_eq(self.epsilon, other.epsilon)
+
+    __hash__ = Kernel.__hash__
+
+
+class TensorProductKernel(Kernel):
+    """``k(x, y) = f(x) g(y)`` for functions ``f``, ``g`` (default ``g = f``).
+    The Gram matrix is rank-1: returned as :class:`LowRank`. This is the
+    kernel behind ``GP * function`` (``/root/reference/stheno/model/measure.py:241-251``)."""
+
+    def __init__(self, f, g=None):
+        self.f = f
+        self.g = g
+
+    @property
+    def _g(self):
+        return self.f if self.g is None else self.g
+
+    def _pairwise(self, x, y):
+        fx = as_fn_output(self.f(x), x.shape[-2])
+        if x is y and self.g is None:
+            return LowRank(fx)
+        gy = as_fn_output(self._g(y), y.shape[-2])
+        return LowRank(fx, gy)
+
+    def _elwise(self, x, y):
+        fx = as_fn_output(self.f(x), x.shape[-2])
+        gy = as_fn_output(self._g(y), y.shape[-2])
+        return fx * gy
+
+    def _scalar(self, x, y):
+        fx = jnp.reshape(jnp.asarray(self.f(x[None, :])), ())
+        gy = jnp.reshape(jnp.asarray(self._g(y[None, :])), ())
+        return fx * gy
+
+    def _render(self, formatter):
+        name = getattr(self.f, "__name__", "<f>")
+        if self.g is None:
+            return f"TensorProductKernel({name})"
+        gname = getattr(self._g, "__name__", "<g>")
+        return f"TensorProductKernel({name}, {gname})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, TensorProductKernel)
+            and self.f is other.f
+            and self.g is other.g
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+# ---------------------------------------------------------------------------
+# Combinators.
+# ---------------------------------------------------------------------------
+
+
+class SumKernel(Kernel):
+    def __init__(self, k1, k2):
+        self.k1 = k1
+        self.k2 = k2
+
+    def _pairwise(self, x, y):
+        return mat_add(self.k1._pairwise(x, y), self.k2._pairwise(x, y))
+
+    def _elwise(self, x, y):
+        return self.k1._elwise(x, y) + self.k2._elwise(x, y)
+
+    def _scalar(self, x, y):
+        return self.k1._scalar(x, y) + self.k2._scalar(x, y)
+
+    @property
+    def stationary(self):
+        return self.k1.stationary and self.k2.stationary
+
+    def _render(self, formatter):
+        return f"{self.k1.display(formatter)} + {self.k2.display(formatter)}"
+
+    def __eq__(self, other):
+        if not isinstance(other, SumKernel):
+            return False
+        return (self.k1 == other.k1 and self.k2 == other.k2) or (
+            self.k1 == other.k2 and self.k2 == other.k1
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class ProductKernel(Kernel):
+    def __init__(self, k1, k2):
+        self.k1 = k1
+        self.k2 = k2
+
+    def _pairwise(self, x, y):
+        return mat_multiply(self.k1._pairwise(x, y), self.k2._pairwise(x, y))
+
+    def _elwise(self, x, y):
+        return self.k1._elwise(x, y) * self.k2._elwise(x, y)
+
+    def _scalar(self, x, y):
+        return self.k1._scalar(x, y) * self.k2._scalar(x, y)
+
+    @property
+    def stationary(self):
+        return self.k1.stationary and self.k2.stationary
+
+    def _render(self, formatter):
+        p1, p2 = self.k1.display(formatter), self.k2.display(formatter)
+        if isinstance(self.k1, SumKernel):
+            p1 = f"({p1})"
+        if isinstance(self.k2, SumKernel):
+            p2 = f"({p2})"
+        return f"{p1} * {p2}"
+
+    def __eq__(self, other):
+        if not isinstance(other, ProductKernel):
+            return False
+        return (self.k1 == other.k1 and self.k2 == other.k2) or (
+            self.k1 == other.k2 and self.k2 == other.k1
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class ScaledKernel(Kernel):
+    def __init__(self, k, scale):
+        self.k = k
+        self.scale = scale
+
+    def _pairwise(self, x, y):
+        return mat_scale(self.k._pairwise(x, y), self.scale)
+
+    def _elwise(self, x, y):
+        return self.k._elwise(x, y) * self.scale
+
+    def _scalar(self, x, y):
+        return self.k._scalar(x, y) * self.scale
+
+    @property
+    def stationary(self):
+        return self.k.stationary
+
+    def _render(self, formatter):
+        inner = self.k.display(formatter)
+        if isinstance(self.k, (SumKernel, ProductKernel)):
+            inner = f"({inner})"
+        return f"{formatter(self.scale)} * {inner}"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ScaledKernel)
+            and self.k == other.k
+            and _param_eq(self.scale, other.scale)
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class _InputWrappedKernel(Kernel):
+    """Base for kernels that warp each argument independently before
+    delegating to a base kernel. Subclasses implement ``_warp(x, which)``
+    with ``which in (1, 2)``."""
+
+    def __init__(self, k):
+        self.k = k
+
+    def _warp(self, x, which):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _pairwise(self, x, y):
+        same = x is y
+        wx = self._warp(x, 1)
+        wy = wx if (same and self._sym) else self._warp(y, 2)
+        return self.k._pairwise(wx, wy)
+
+    def _elwise(self, x, y):
+        same = x is y
+        wx = self._warp(x, 1)
+        wy = wx if (same and self._sym) else self._warp(y, 2)
+        return self.k._elwise(wx, wy)
+
+    def _scalar(self, x, y):
+        return self.k._scalar(self._warp_vec(x, 1), self._warp_vec(y, 2))
+
+    def _warp_vec(self, v, which):
+        return self._warp(v[None, :], which)[0]
+
+    @property
+    def _sym(self):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    @property
+    def stationary(self):
+        return False
+
+
+class StretchedKernel(_InputWrappedKernel):
+    def __init__(self, k, s1, s2):
+        super().__init__(k)
+        self.s1 = s1
+        self.s2 = s2
+
+    def _warp(self, x, which):
+        s = self.s1 if which == 1 else self.s2
+        return x / s
+
+    @property
+    def _sym(self):
+        return self.s1 is self.s2
+
+    @property
+    def stationary(self):
+        # Stretching preserves stationarity only for a shared stretch.
+        return self.k.stationary and self._sym
+
+    def _render(self, formatter):
+        if self._sym:
+            return f"{self.k.display(formatter)} > {formatter(self.s1)}"
+        return (
+            f"{self.k.display(formatter)} > "
+            f"({formatter(self.s1)}, {formatter(self.s2)})"
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, StretchedKernel)
+            and self.k == other.k
+            and _param_eq(self.s1, other.s1)
+            and _param_eq(self.s2, other.s2)
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class ShiftedKernel(_InputWrappedKernel):
+    def __init__(self, k, s1, s2):
+        super().__init__(k)
+        self.s1 = s1
+        self.s2 = s2
+
+    def _warp(self, x, which):
+        s = self.s1 if which == 1 else self.s2
+        return x - s
+
+    @property
+    def _sym(self):
+        return self.s1 is self.s2
+
+    @property
+    def stationary(self):
+        return self.k.stationary and self._sym
+
+    def _render(self, formatter):
+        if self._sym:
+            return f"{self.k.display(formatter)} shift {formatter(self.s1)}"
+        return (
+            f"{self.k.display(formatter)} shift "
+            f"({formatter(self.s1)}, {formatter(self.s2)})"
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ShiftedKernel)
+            and self.k == other.k
+            and _param_eq(self.s1, other.s1)
+            and _param_eq(self.s2, other.s2)
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class SelectedKernel(_InputWrappedKernel):
+    """Select input dimensions (``None`` = keep all, the asymmetric variant
+    used by cross-kernel rules)."""
+
+    def __init__(self, k, d1, d2):
+        super().__init__(k)
+        self.d1 = _normalise_dims(d1)
+        self.d2 = _normalise_dims(d2)
+
+    def _warp(self, x, which):
+        d = self.d1 if which == 1 else self.d2
+        if d is None:
+            return x
+        return x[..., list(d)]
+
+    @property
+    def _sym(self):
+        return self.d1 == self.d2
+
+    @property
+    def stationary(self):
+        return self.k.stationary and self._sym
+
+    def _render(self, formatter):
+        if self._sym:
+            return f"{self.k.display(formatter)} : {list(self.d1)}"
+        return f"{self.k.display(formatter)} : ({self.d1}, {self.d2})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, SelectedKernel)
+            and self.k == other.k
+            and self.d1 == other.d1
+            and self.d2 == other.d2
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+def _normalise_dims(d):
+    if d is None:
+        return None
+    if isinstance(d, (int, np.integer)):
+        return (int(d),)
+    return tuple(int(i) for i in d)
+
+
+class InputTransformedKernel(_InputWrappedKernel):
+    """Transform each argument through a function before evaluation (``None``
+    = identity). The transformed input re-enters the *generic* dispatcher, so
+    a transform may return tuples or FDD-tagged inputs (this is how the
+    multi-output cross rule works, ``/root/reference/stheno/model/measure.py:422``)."""
+
+    def __init__(self, k, f1, f2):
+        super().__init__(k)
+        self.f1 = f1
+        self.f2 = f2
+
+    def _apply(self, x, which):
+        f = self.f1 if which == 1 else self.f2
+        return x if f is None else f(x)
+
+    # Override evaluation to re-dispatch generically.
+    def _pairwise_raw_inputs(self, x, y):
+        return self._apply(x, 1), self._apply(y, 2)
+
+    def _pairwise(self, x, y):
+        from .eval import pairwise
+
+        wx, wy = self._pairwise_raw_inputs(x, y)
+        return pairwise(self.k, wx, wy, _uprank_done=False)
+
+    def _elwise(self, x, y):
+        from .eval import elwise
+
+        wx, wy = self._pairwise_raw_inputs(x, y)
+        return elwise(self.k, wx, wy, _uprank_done=False)
+
+    def _scalar(self, x, y):
+        fx = x if self.f1 is None else jnp.asarray(self.f1(x[None, :]))[0]
+        fy = y if self.f2 is None else jnp.asarray(self.f2(y[None, :]))[0]
+        return self.k._scalar(jnp.atleast_1d(fx), jnp.atleast_1d(fy))
+
+    @property
+    def _sym(self):
+        return self.f1 is self.f2
+
+    def _render(self, formatter):
+        n1 = getattr(self.f1, "__name__", str(self.f1))
+        n2 = getattr(self.f2, "__name__", str(self.f2))
+        return f"{self.k.display(formatter)} transform ({n1}, {n2})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, InputTransformedKernel)
+            and self.k == other.k
+            and self.f1 is other.f1
+            and self.f2 is other.f2
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class PeriodicKernel(_InputWrappedKernel):
+    """Periodic warping: inputs are embedded on the torus
+    ``x -> (cos 2 pi x / p, sin 2 pi x / p)`` per dimension, matching
+    mlkernels' ``k.periodic(period)`` semantics."""
+
+    def __init__(self, k, period):
+        super().__init__(k)
+        self.period = period
+
+    def _warp(self, x, which):
+        angle = 2 * math.pi * x / self.period
+        return jnp.concatenate([jnp.cos(angle), jnp.sin(angle)], axis=-1)
+
+    @property
+    def _sym(self):
+        return True
+
+    @property
+    def stationary(self):
+        return self.k.stationary
+
+    def _render(self, formatter):
+        return f"{self.k.display(formatter)} per {formatter(self.period)}"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, PeriodicKernel)
+            and self.k == other.k
+            and _param_eq(self.period, other.period)
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class DerivativeKernel(Kernel):
+    """Derivative of a kernel via JAX autodiff.
+
+    ``DerivativeKernel(k, d1, d2)``: differentiate argument 1 w.r.t. input
+    dimension ``d1`` and argument 2 w.r.t. ``d2``; ``None`` leaves an argument
+    undifferentiated (the asymmetric cross-kernel variant,
+    ``/root/reference/stheno/model/measure.py:359``)."""
+
+    def __init__(self, k, d1, d2):
+        self.k = k
+        self.d1 = d1
+        self.d2 = d2
+
+    def _deriv_scalar_fn(self):
+        base = self.k._scalar
+
+        f = base
+        if self.d1 is not None:
+            d1 = self.d1
+            f_prev1 = f
+            f = lambda xv, yv: jax.grad(f_prev1, argnums=0)(xv, yv)[d1]
+        if self.d2 is not None:
+            d2 = self.d2
+            f_prev2 = f
+            f = lambda xv, yv: jax.grad(f_prev2, argnums=1)(xv, yv)[d2]
+        return f
+
+    def _scalar(self, x, y):
+        return self._deriv_scalar_fn()(x, y)
+
+    def _pairwise(self, x, y):
+        f = self._deriv_scalar_fn()
+        fm = jax.vmap(jax.vmap(f, in_axes=(None, 0)), in_axes=(0, None))
+        if x.ndim > 2:
+            raise NotImplementedError(
+                "Batched inputs are not supported for derivative kernels."
+            )
+        return Dense(fm(x, y))
+
+    def _elwise(self, x, y):
+        f = self._deriv_scalar_fn()
+        fv = jax.vmap(f)
+        if x.ndim > 2:
+            raise NotImplementedError(
+                "Batched inputs are not supported for derivative kernels."
+            )
+        y = jnp.broadcast_to(y, x.shape)
+        return fv(x, y)[:, None]
+
+    @property
+    def stationary(self):
+        return self.k.stationary and self.d1 is not None and self.d2 is not None
+
+    def _render(self, formatter):
+        return f"d({self.d1}, {self.d2}) {self.k.display(formatter)}"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, DerivativeKernel)
+            and self.k == other.k
+            and self.d1 == other.d1
+            and self.d2 == other.d2
+        )
+
+    __hash__ = Kernel.__hash__

@@ -1,0 +1,769 @@
+"""Structure-aware linear algebra over the pytree matrix types.
+
+Replaces the ``B.*``/``matrix``-package numerics surface the reference uses
+(op list surveyed from ``/root/reference/stheno``: ``cholesky, solve, iqf,
+iqf_diag, logdet, ratio, root, matmul, matmul_diag, block, block_diag,
+submatrix, fill_diag, diag, sample`` — see SURVEY.md §2.9). Everything here is
+pure-jnp and safe under ``jit``/``grad``/``vmap``; structure dispatch happens
+on *types* at trace time so XLA sees fully-specialised programs.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .types import (
+    AbstractMatrix,
+    Constant,
+    Dense,
+    Diagonal,
+    Kronecker,
+    LowRank,
+    LowerTriangular,
+    UpperTriangular,
+    Woodbury,
+    Zero,
+    is_structured,
+)
+
+__all__ = [
+    "as_matrix",
+    "dense",
+    "diag",
+    "diag_of",
+    "transpose",
+    "add",
+    "scale",
+    "multiply",
+    "matmul",
+    "matmul3",
+    "matmul_diag",
+    "cholesky",
+    "solve",
+    "iqf",
+    "iqf_diag",
+    "logdet",
+    "ratio",
+    "root",
+    "trace",
+    "sample",
+    "fill_diag",
+    "eye_like",
+    "block_diag",
+    "block",
+    "submatrix",
+    "shape_matrix",
+    "dtype_of",
+]
+
+
+# ---------------------------------------------------------------------------
+# Promotion and basic structure.
+# ---------------------------------------------------------------------------
+
+
+def as_matrix(a):
+    """Promote a raw array to :class:`Dense`; pass structured matrices through."""
+    if is_structured(a):
+        return a
+    a = jnp.asarray(a)
+    if a.ndim < 2:
+        raise ValueError(f"Cannot promote rank-{a.ndim} array to a matrix.")
+    return Dense(a)
+
+
+def dense(a):
+    """Materialise ``a`` as a plain ``jnp`` array."""
+    if not is_structured(a):
+        return jnp.asarray(a)
+    if isinstance(a, (Dense, LowerTriangular, UpperTriangular)):
+        return a.mat
+    if isinstance(a, Diagonal):
+        n = a.diag.shape[-1]
+        return a.diag[..., :, None] * jnp.eye(n, dtype=a.dtype)
+    if isinstance(a, Zero):
+        return jnp.zeros(a.shape, dtype=a.dtype)
+    if isinstance(a, Constant):
+        return jnp.broadcast_to(a.const[..., None, None], a.shape)
+    if isinstance(a, LowRank):
+        left = a.left if a.middle is None else a.left @ a.middle
+        return left @ jnp.swapaxes(a._right, -1, -2)
+    if isinstance(a, Woodbury):
+        return dense(a.diag) + dense(a.lr)
+    if isinstance(a, Kronecker):
+        l, r = dense(a.left), dense(a.right)
+        return jnp.einsum("...ij,...kl->...ikjl", l, r).reshape(
+            *jnp.broadcast_shapes(a.left.batch_shape, a.right.batch_shape),
+            a.rows,
+            a.cols,
+        )
+    raise TypeError(f"Cannot densify {type(a).__name__}.")
+
+
+def diag_of(a):
+    """Diagonal of a matrix as a vector ``(..., n)``."""
+    if not is_structured(a):
+        return jnp.diagonal(jnp.asarray(a), axis1=-2, axis2=-1)
+    if isinstance(a, Diagonal):
+        return a.diag
+    if isinstance(a, (Dense, LowerTriangular, UpperTriangular)):
+        return jnp.diagonal(a.mat, axis1=-2, axis2=-1)
+    if isinstance(a, Zero):
+        return jnp.zeros(a.shape[:-2] + (min(a.rows, a.cols),), dtype=a.dtype)
+    if isinstance(a, Constant):
+        n = min(a.rows, a.cols)
+        return jnp.broadcast_to(a.const[..., None], a.const.shape + (n,))
+    if isinstance(a, LowRank):
+        left = a.left if a.middle is None else a.left @ a.middle
+        n = min(a.rows, a.cols)
+        return jnp.sum(
+            left[..., :n, :] * a._right[..., :n, :], axis=-1
+        )
+    if isinstance(a, Woodbury):
+        return diag_of(a.diag) + diag_of(a.lr)
+    return jnp.diagonal(dense(a), axis1=-2, axis2=-1)
+
+
+def diag(a):
+    """Overloaded like the reference's ``B.diag``: matrix -> diagonal vector,
+    vector -> :class:`Diagonal` matrix."""
+    if is_structured(a):
+        return diag_of(a)
+    a = jnp.asarray(a)
+    if a.ndim >= 2:
+        return jnp.diagonal(a, axis1=-2, axis2=-1)
+    return Diagonal(a)
+
+
+def transpose(a):
+    if not is_structured(a):
+        return jnp.swapaxes(jnp.asarray(a), -1, -2)
+    if isinstance(a, Dense):
+        return Dense(jnp.swapaxes(a.mat, -1, -2))
+    if isinstance(a, Diagonal):
+        return a
+    if isinstance(a, Zero):
+        return Zero(a.dtype, a.cols, a.rows)
+    if isinstance(a, Constant):
+        return Constant(a.const, a._cols, a._rows)
+    if isinstance(a, LowRank):
+        if a.sym and a.middle is None:
+            return a
+        middle = None if a.middle is None else jnp.swapaxes(a.middle, -1, -2)
+        return LowRank(a._right, a.left, middle)
+    if isinstance(a, Woodbury):
+        return Woodbury(a.diag, transpose(a.lr))
+    if isinstance(a, LowerTriangular):
+        return UpperTriangular(jnp.swapaxes(a.mat, -1, -2))
+    if isinstance(a, UpperTriangular):
+        return LowerTriangular(jnp.swapaxes(a.mat, -1, -2))
+    if isinstance(a, Kronecker):
+        return Kronecker(transpose(a.left), transpose(a.right))
+    raise TypeError(f"Cannot transpose {type(a).__name__}.")
+
+
+def shape_matrix(a):
+    return as_matrix(a).shape[-2:]
+
+
+def dtype_of(a):
+    return a.dtype if is_structured(a) else jnp.asarray(a).dtype
+
+
+def _as_lowrank(a):
+    """View Constant/LowRank as LowRank."""
+    if isinstance(a, LowRank):
+        return a
+    if isinstance(a, Constant):
+        ones_r = jnp.ones(a.const.shape + (a._rows, 1), dtype=a.dtype)
+        ones_c = jnp.ones(a.const.shape + (a._cols, 1), dtype=a.dtype)
+        middle = a.const[..., None, None]
+        if a._rows == a._cols:
+            return LowRank(ones_r, None, middle)
+        return LowRank(ones_r, ones_c, middle)
+    raise TypeError(f"Cannot view {type(a).__name__} as LowRank.")
+
+
+def _lr_middle(a: LowRank):
+    if a.middle is not None:
+        return a.middle
+    r = a.rank
+    return jnp.eye(r, dtype=a.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Addition / scaling / elementwise multiplication.
+# ---------------------------------------------------------------------------
+
+
+def scale(a, s):
+    """Multiply by a scalar, preserving structure."""
+    if not is_structured(a):
+        return jnp.asarray(a) * s
+    s = jnp.asarray(s)
+    if isinstance(a, Dense):
+        return Dense(a.mat * s)
+    if isinstance(a, Diagonal):
+        return Diagonal(a.diag * s)
+    if isinstance(a, Zero):
+        return a
+    if isinstance(a, Constant):
+        return Constant(a.const * s, a._rows, a._cols)
+    if isinstance(a, LowRank):
+        middle = _lr_middle(a) * s if a.middle is not None else None
+        if middle is None:
+            middle = jnp.eye(a.rank, dtype=a.dtype) * s
+        return LowRank(a.left, a.right, middle)
+    if isinstance(a, Woodbury):
+        return Woodbury(scale(a.diag, s), scale(a.lr, s))
+    if isinstance(a, (LowerTriangular, UpperTriangular)):
+        return type(a)(a.mat * s)
+    if isinstance(a, Kronecker):
+        return Kronecker(scale(a.left, s), a.right)
+    raise TypeError(f"Cannot scale {type(a).__name__}.")
+
+
+def _is_scalar(x):
+    return not is_structured(x) and jnp.ndim(x) == 0
+
+
+def add(a, b):
+    """Structure-preserving addition. Scalars broadcast like dense addition
+    only when one side is Constant/Zero-free dense semantics — the reference
+    only ever adds matrices of matching shape, so we require that too."""
+    if _is_scalar(a) and _is_scalar(b):
+        return jnp.asarray(a) + jnp.asarray(b)
+    # `x + 0` shows up in the pseudo-obs code (`K_n += 0`).
+    if _is_scalar(b):
+        b_arr = jnp.asarray(b)
+        if b_arr.shape == () and isinstance(b, (int, float)) and b == 0:
+            return a
+        a = as_matrix(a)
+        return add(a, Constant(jnp.asarray(b, a.dtype), a.rows, a.cols))
+    if _is_scalar(a):
+        return add(b, a)
+
+    a, b = as_matrix(a), as_matrix(b)
+
+    if isinstance(a, Zero):
+        return b
+    if isinstance(b, Zero):
+        return a
+    if isinstance(a, Diagonal) and isinstance(b, Diagonal):
+        return Diagonal(a.diag + b.diag)
+    if isinstance(a, Constant) and isinstance(b, Constant):
+        return Constant(a.const + b.const, a._rows, a._cols)
+    # Low-rank + low-rank: concatenate factors.
+    if isinstance(a, (LowRank, Constant)) and isinstance(b, (LowRank, Constant)):
+        la, lb = _as_lowrank(a), _as_lowrank(b)
+        sym = la.sym and lb.sym
+        left = jnp.concatenate(_pad_batch(la.left, lb.left), axis=-1)
+        if sym and la.middle is None and lb.middle is None:
+            return LowRank(left)
+        ma, mb = _lr_middle(la), _lr_middle(lb)
+        ra, rb = ma.shape[-1], mb.shape[-1]
+        middle = jnp.zeros(
+            jnp.broadcast_shapes(ma.shape[:-2], mb.shape[:-2]) + (ra + rb, ra + rb),
+            dtype=la.dtype,
+        )
+        middle = middle.at[..., :ra, :ra].set(ma)
+        middle = middle.at[..., ra:, ra:].set(mb)
+        right = None
+        if not sym:
+            right = jnp.concatenate(_pad_batch(la._right, lb._right), axis=-1)
+        return LowRank(left, right, middle)
+    # Diagonal + low-rank: Woodbury.
+    if isinstance(a, Diagonal) and isinstance(b, (LowRank, Constant)):
+        return Woodbury(a, _as_lowrank(b))
+    if isinstance(a, (LowRank, Constant)) and isinstance(b, Diagonal):
+        return Woodbury(b, _as_lowrank(a))
+    # Woodbury combinations.
+    if isinstance(a, Woodbury) and isinstance(b, Diagonal):
+        return Woodbury(add(a.diag, b), a.lr)
+    if isinstance(a, Diagonal) and isinstance(b, Woodbury):
+        return Woodbury(add(a, b.diag), b.lr)
+    if isinstance(a, Woodbury) and isinstance(b, (LowRank, Constant)):
+        return Woodbury(a.diag, add(a.lr, _as_lowrank(b)))
+    if isinstance(a, (LowRank, Constant)) and isinstance(b, Woodbury):
+        return Woodbury(b.diag, add(_as_lowrank(a), b.lr))
+    if isinstance(a, Woodbury) and isinstance(b, Woodbury):
+        return Woodbury(add(a.diag, b.diag), add(a.lr, b.lr))
+    # Fallback: dense.
+    return Dense(dense(a) + dense(b))
+
+
+def _pad_batch(x, y):
+    """Broadcast-compatible batch padding for factor concatenation."""
+    nb = max(x.ndim, y.ndim)
+    while x.ndim < nb:
+        x = x[None]
+    while y.ndim < nb:
+        y = y[None]
+    # Broadcast batch dims but keep the last two.
+    batch = jnp.broadcast_shapes(x.shape[:-2], y.shape[:-2])
+    x = jnp.broadcast_to(x, batch + x.shape[-2:])
+    y = jnp.broadcast_to(y, batch + y.shape[-2:])
+    return x, y
+
+
+def multiply(a, b):
+    """Elementwise (Hadamard) product."""
+    if _is_scalar(a):
+        return scale(b, a)
+    if _is_scalar(b):
+        return scale(a, b)
+    if not is_structured(a) and not is_structured(b):
+        return jnp.asarray(a) * jnp.asarray(b)
+    a, b = as_matrix(a), as_matrix(b)
+    if isinstance(a, Zero) or isinstance(b, Zero):
+        return Zero(a.dtype, a.rows, a.cols)
+    if isinstance(a, Diagonal) and isinstance(b, Diagonal):
+        return Diagonal(a.diag * b.diag)
+    if isinstance(a, Diagonal):
+        return Diagonal(a.diag * diag_of(b))
+    if isinstance(b, Diagonal):
+        return Diagonal(diag_of(a) * b.diag)
+    if isinstance(a, Constant):
+        return scale(b, a.const)
+    if isinstance(b, Constant):
+        return scale(a, b.const)
+    return Dense(dense(a) * dense(b))
+
+
+# ---------------------------------------------------------------------------
+# Matrix multiplication.
+# ---------------------------------------------------------------------------
+
+
+def matmul(a, b, tr_a=False, tr_b=False):
+    """``a @ b`` with optional transposes, preserving structure where cheap."""
+    if tr_a:
+        a = transpose(a) if is_structured(a) else jnp.swapaxes(jnp.asarray(a), -1, -2)
+    if tr_b:
+        b = transpose(b) if is_structured(b) else jnp.swapaxes(jnp.asarray(b), -1, -2)
+
+    a_s, b_s = is_structured(a), is_structured(b)
+    if not a_s and not b_s:
+        return jnp.matmul(jnp.asarray(a), jnp.asarray(b))
+
+    # Raw arrays against structured: handle vector-ish b directly.
+    if a_s and not b_s:
+        b = jnp.asarray(b)
+        if isinstance(a, Zero):
+            return jnp.zeros(
+                jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+                + (a.rows, b.shape[-1]),
+                dtype=a.dtype,
+            )
+        if isinstance(a, Diagonal):
+            return a.diag[..., :, None] * b
+        if isinstance(a, Constant):
+            s = jnp.sum(b, axis=-2, keepdims=True)
+            return jnp.broadcast_to(
+                a.const[..., None, None] * s,
+                jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+                + (a.rows, b.shape[-1]),
+            )
+        if isinstance(a, LowRank):
+            tmp = jnp.matmul(jnp.swapaxes(a._right, -1, -2), b)
+            if a.middle is not None:
+                tmp = jnp.matmul(a.middle, tmp)
+            return jnp.matmul(a.left, tmp)
+        if isinstance(a, Woodbury):
+            return matmul(a.diag, b) + matmul(a.lr, b)
+        return jnp.matmul(dense(a), b)
+    if b_s and not a_s:
+        return jnp.swapaxes(
+            matmul(transpose(b), jnp.swapaxes(jnp.asarray(a), -1, -2)), -1, -2
+        )
+
+    # Structured–structured.
+    if isinstance(a, Zero) or isinstance(b, Zero):
+        return Zero(a.dtype, a.rows, b.cols)
+    if isinstance(a, Diagonal) and isinstance(b, Diagonal):
+        return Diagonal(a.diag * b.diag)
+    if isinstance(a, LowRank) or isinstance(a, Constant):
+        la = _as_lowrank(a)
+        new_right = matmul(transpose(b), la._right)
+        new_right = new_right.dense() if is_structured(new_right) else new_right
+        return LowRank(la.left, new_right, la.middle)
+    if isinstance(b, LowRank) or isinstance(b, Constant):
+        lb = _as_lowrank(b)
+        new_left = matmul(a, lb.left)
+        new_left = new_left.dense() if is_structured(new_left) else new_left
+        return LowRank(new_left, lb._right, lb.middle)
+    if isinstance(a, Diagonal):
+        return Dense(a.diag[..., :, None] * dense(b))
+    if isinstance(b, Diagonal):
+        return Dense(dense(a) * b.diag[..., None, :])
+    if isinstance(a, Woodbury):
+        return add(matmul(a.diag, b), matmul(a.lr, b))
+    if isinstance(b, Woodbury):
+        return add(matmul(a, b.diag), matmul(a, b.lr))
+    if isinstance(a, Kronecker) and isinstance(b, Kronecker):
+        return Kronecker(matmul(a.left, b.left), matmul(a.right, b.right))
+    return Dense(jnp.matmul(dense(a), dense(b)))
+
+
+def matmul3(a, b, c, tr_a=False, tr_c=False):
+    """``a @ b @ c`` (the reference's ``B.mm(a, b, c, tr_c=True)`` pattern,
+    e.g. ``/root/reference/stheno/model/observations.py:323``)."""
+    return matmul(matmul(a, b, tr_a=tr_a), c, tr_b=tr_c)
+
+
+def matmul_diag(a, b, tr_a=False):
+    """``diag(a @ b)`` (or ``diag(a.T @ b)``) without forming the product —
+    used for the VFE diag correction
+    (``/root/reference/stheno/model/observations.py:305``)."""
+    a = dense(a) if is_structured(a) else jnp.asarray(a)
+    b = dense(b) if is_structured(b) else jnp.asarray(b)
+    if tr_a:
+        a = jnp.swapaxes(a, -1, -2)
+    return jnp.sum(a * jnp.swapaxes(b, -1, -2), axis=-1)
+
+
+def trace(a):
+    return jnp.sum(diag_of(a), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Factorisations and solves.
+# ---------------------------------------------------------------------------
+
+
+def _tracer_safe_cache(a, key, compute):
+    """Memoise ``compute()`` on ``a._cache`` without leaking tracers across
+    traces: cache a traced result only if ``a`` itself holds tracers (then the
+    object is trace-local)."""
+    cache = getattr(a, "_cache", None)
+    if cache is None:
+        return compute()
+    if key in cache:
+        return cache[key]
+    value = compute()
+    value_traced = any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree_util.tree_leaves(value)
+    )
+    if not value_traced or any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree_util.tree_leaves(a)
+    ):
+        cache[key] = value
+    return value
+
+
+def _chol_dense(mat):
+    n = mat.shape[-1]
+    eps = config.jitter(mat.dtype)
+    reg = eps * jnp.eye(n, dtype=mat.dtype)
+    return jnp.linalg.cholesky(mat + reg)
+
+
+def cholesky(a):
+    """Cholesky factor (lower). Cached per matrix object; adds the configured
+    jitter for dense factorisations like the reference's ``B.epsilon`` policy."""
+    if not is_structured(a):
+        return LowerTriangular(_chol_dense(jnp.asarray(a)))
+
+    def compute():
+        if isinstance(a, Diagonal):
+            return Diagonal(jnp.sqrt(a.diag))
+        if isinstance(a, Zero):
+            return a
+        if isinstance(a, LowerTriangular):
+            return a
+        if isinstance(a, Kronecker):
+            return Kronecker(cholesky(a.left), cholesky(a.right))
+        return LowerTriangular(_chol_dense(dense(a)))
+
+    return _tracer_safe_cache(a, "cholesky", compute)
+
+
+def _solve_triangular(tri, b, lower):
+    b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
+    return jax.scipy.linalg.solve_triangular(tri.mat, b_arr, lower=lower)
+
+
+def solve(a, b):
+    """``a^{-1} b``. Triangular matrices use triangular solves; Diagonal and
+    Woodbury use closed forms; otherwise solve via the (cached) Cholesky."""
+    if isinstance(a, LowerTriangular):
+        return _solve_triangular(a, b, lower=True)
+    if isinstance(a, UpperTriangular):
+        return _solve_triangular(a, b, lower=False)
+    if isinstance(a, Diagonal):
+        b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
+        return b_arr / a.diag[..., :, None]
+    if isinstance(a, Woodbury):
+        return _solve_woodbury(a, dense(b) if is_structured(b) else jnp.asarray(b))
+    if isinstance(a, Kronecker):
+        # vec trick: (A (x) B)^{-1} vec(X) with X reshaped — fall back to dense
+        # for now; Kronecker solves are not on the reference's hot path.
+        pass
+    if not is_structured(a):
+        a = as_matrix(a)
+    L = cholesky(a)
+    if isinstance(L, Diagonal):
+        return solve(L, solve(L, b))  # pragma: no cover — Diagonal handled above.
+    y = _solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.mat, y, lower=True, trans="T")
+
+
+def _wb_core(a: Woodbury):
+    """Capacitance pieces for the Woodbury identity, cached on the object.
+
+    Returns ``(Dinv_left, core)`` with ``core = M^{-1} + R^T D^{-1} L`` solved
+    via LU (the middle need not be PSD)."""
+
+    def compute():
+        lr = a.lr
+        d = a.diag.diag[..., :, None]
+        left = lr.left
+        right = lr._right
+        m = _lr_middle(lr)
+        dinv_left = left / d
+        minv = jnp.linalg.inv(m)
+        core = minv + jnp.matmul(jnp.swapaxes(right, -1, -2), right / d)
+        return dinv_left, right, core
+
+    return _tracer_safe_cache(a, "wb_core", compute)
+
+
+def _solve_woodbury(a: Woodbury, b):
+    d = a.diag.diag[..., :, None]
+    dinv_left, right, core = _wb_core(a)
+    dinv_b = b / d
+    rhs = jnp.matmul(jnp.swapaxes(right, -1, -2), dinv_b)
+    correction = jnp.matmul(dinv_left, jnp.linalg.solve(core, rhs))
+    return dinv_b - correction
+
+
+def iqf(a, b, c=None):
+    """Inner quadratic form ``b^T a^{-1} c`` (``c`` defaults to ``b``),
+    matching the reference's ``B.iqf``."""
+    if c is None:
+        c = b
+    if isinstance(a, (Diagonal, Woodbury, LowerTriangular, UpperTriangular)):
+        return Dense(
+            jnp.matmul(
+                jnp.swapaxes(dense(b) if is_structured(b) else jnp.asarray(b), -1, -2),
+                solve(a, c),
+            )
+        )
+    a = as_matrix(a)
+    L = cholesky(a)
+    lb = _solve_triangular(L, b, lower=True)
+    lc = lb if c is b else _solve_triangular(L, c, lower=True)
+    return Dense(jnp.matmul(jnp.swapaxes(lb, -1, -2), lc))
+
+
+def iqf_diag(a, b, c=None):
+    """``diag(b^T a^{-1} c)`` as a vector ``(..., m)``."""
+    if c is None:
+        c = b
+    b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
+    if isinstance(a, (Diagonal, Woodbury, LowerTriangular, UpperTriangular)):
+        return jnp.sum(b_arr * solve(a, c), axis=-2)
+    a = as_matrix(a)
+    L = cholesky(a)
+    lb = _solve_triangular(L, b, lower=True)
+    lc = lb if c is b else _solve_triangular(L, c, lower=True)
+    return jnp.sum(lb * lc, axis=-2)
+
+
+def logdet(a):
+    """Log-determinant. Woodbury uses the matrix-determinant lemma so e.g.
+    Bayesian linear regression stays O(N r^2)."""
+    if isinstance(a, Diagonal):
+        return jnp.sum(jnp.log(a.diag), axis=-1)
+    if isinstance(a, Woodbury):
+        d = a.diag.diag
+        lr = a.lr
+        m = _lr_middle(lr)
+        right = lr._right
+        core = jnp.matmul(
+            jnp.swapaxes(right, -1, -2), lr.left / d[..., :, None]
+        )
+        core = jnp.matmul(m, core)
+        core = core + jnp.eye(core.shape[-1], dtype=core.dtype)
+        sign, ld_core = jnp.linalg.slogdet(core)
+        return jnp.sum(jnp.log(d), axis=-1) + ld_core
+    if isinstance(a, (LowerTriangular, UpperTriangular)):
+        return jnp.sum(jnp.log(jnp.diagonal(a.mat, axis1=-2, axis2=-1)), axis=-1)
+    if isinstance(a, Kronecker):
+        n, m = a.left.rows, a.right.rows
+        return m * logdet(a.left) + n * logdet(a.right)
+    a = as_matrix(a)
+    L = cholesky(a)
+    return 2 * jnp.sum(
+        jnp.log(jnp.diagonal(L.mat, axis1=-2, axis2=-1)), axis=-1
+    )
+
+
+def ratio(a, b):
+    """``trace(b^{-1} a)`` (the reference's ``B.ratio``)."""
+    if isinstance(a, Diagonal) and isinstance(b, Diagonal):
+        return jnp.sum(a.diag / b.diag, axis=-1)
+    if isinstance(b, (Diagonal, Woodbury)):
+        return jnp.trace(solve(b, dense(a)), axis1=-2, axis2=-1)
+    b = as_matrix(b)
+    L = cholesky(b)
+    a_arr = dense(a) if is_structured(a) else jnp.asarray(a)
+    half = _solve_triangular(L, a_arr, lower=True)
+    half2 = _solve_triangular(
+        L, jnp.swapaxes(half, -1, -2), lower=True
+    )
+    return jnp.trace(half2, axis1=-2, axis2=-1)
+
+
+def root(a):
+    """Symmetric positive-semidefinite square root."""
+    if isinstance(a, Diagonal):
+        return Diagonal(jnp.sqrt(jnp.maximum(a.diag, 0)))
+    if isinstance(a, Zero):
+        return a
+    mat = dense(a) if is_structured(a) else jnp.asarray(a)
+    vals, vecs = jnp.linalg.eigh(mat)
+    vals = jnp.sqrt(jnp.maximum(vals, 0))
+    return Dense(
+        jnp.matmul(vecs * vals[..., None, :], jnp.swapaxes(vecs, -1, -2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling.
+# ---------------------------------------------------------------------------
+
+
+def sample(key, var, num=1):
+    """Draw ``num`` zero-mean samples with covariance ``var`` as columns of a
+    ``(..., n, num)`` array, using the structure of ``var``
+    (cf. ``B.sample`` via ``chol(var) @ randn`` in the reference stack)."""
+    var = as_matrix(var)
+    n = var.rows
+    if isinstance(var, Zero):
+        return jnp.zeros(var.batch_shape + (n, num), dtype=var.dtype)
+    if isinstance(var, Diagonal):
+        eps = jax.random.normal(key, var.batch_shape + (n, num), dtype=var.dtype)
+        return jnp.sqrt(jnp.maximum(var.diag, 0))[..., :, None] * eps
+    if isinstance(var, (Constant, LowRank)):
+        lr = _as_lowrank(var)
+        r = lr.rank
+        eps = jax.random.normal(key, lr.batch_shape + (r, num), dtype=lr.dtype)
+        if lr.middle is None:
+            return jnp.matmul(lr.left, eps)
+        m_root = dense(root(Dense(lr.middle)))
+        return jnp.matmul(lr.left, jnp.matmul(m_root, eps))
+    if isinstance(var, Woodbury):
+        k1, k2 = jax.random.split(key)
+        return sample(k1, var.diag, num) + sample(k2, var.lr, num)
+    L = cholesky(var)
+    L_mat = dense(L)
+    eps = jax.random.normal(
+        key, var.batch_shape + (n, num), dtype=var.dtype
+    )
+    return jnp.matmul(L_mat, eps)
+
+
+# ---------------------------------------------------------------------------
+# Construction helpers.
+# ---------------------------------------------------------------------------
+
+
+def fill_diag(scalar, n):
+    """Diagonal matrix with every diagonal entry ``scalar``
+    (the reference's ``B.fill_diag``, used for scalar noise promotion at
+    ``/root/reference/stheno/model/fdd.py:32``)."""
+    scalar = jnp.asarray(scalar)
+    return Diagonal(jnp.broadcast_to(scalar[..., None], scalar.shape + (n,)))
+
+
+def eye_like(a):
+    a = as_matrix(a)
+    return Diagonal(jnp.ones(a.batch_shape + (a.rows,), dtype=a.dtype))
+
+
+def block_diag(*mats):
+    """Block-diagonal assembly; Diagonal/Zero inputs stay structured."""
+    mats = [as_matrix(m) for m in mats]
+    if len(mats) == 1:
+        return mats[0]
+    if all(isinstance(m, Zero) for m in mats):
+        return Zero(mats[0].dtype, sum(m.rows for m in mats), sum(m.cols for m in mats))
+    if all(isinstance(m, (Diagonal, Zero)) for m in mats):
+        diags = [
+            m.diag if isinstance(m, Diagonal) else jnp.zeros(m.shape[:-2] + (m.rows,), m.dtype)
+            for m in mats
+        ]
+        batch = jnp.broadcast_shapes(*[d.shape[:-1] for d in diags])
+        diags = [jnp.broadcast_to(d, batch + d.shape[-1:]) for d in diags]
+        return Diagonal(jnp.concatenate(diags, axis=-1))
+    rows = sum(m.rows for m in mats)
+    cols = sum(m.cols for m in mats)
+    batch = jnp.broadcast_shapes(*[m.batch_shape for m in mats])
+    dtype = jnp.result_type(*[m.dtype for m in mats])
+    out = jnp.zeros(batch + (rows, cols), dtype=dtype)
+    i = j = 0
+    for m in mats:
+        out = out.at[..., i : i + m.rows, j : j + m.cols].set(dense(m))
+        i += m.rows
+        j += m.cols
+    return Dense(out)
+
+
+def block(rows):
+    """Assemble a matrix from a 2D grid of blocks (the reference's
+    ``B.block``, the multi-output Gram assembler at
+    ``/root/reference/stheno/mo/input.py:7-10``). Keeps Diagonal structure
+    when all off-diagonal blocks are Zero and diagonal blocks are Diagonal."""
+    grid = [[as_matrix(b) for b in row] for row in rows]
+    n_r, n_c = len(grid), len(grid[0])
+    if n_r == n_c and all(
+        isinstance(grid[i][i], (Diagonal, Zero))
+        and all(isinstance(grid[i][j], Zero) for j in range(n_c) if j != i)
+        for i in range(n_r)
+    ):
+        return block_diag(*[grid[i][i] for i in range(n_r)])
+    dense_rows = [
+        jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    dense(b),
+                    jnp.broadcast_shapes(
+                        *[bb.batch_shape for row2 in grid for bb in row2]
+                    )
+                    + b.shape[-2:],
+                )
+                for b in row
+            ],
+            axis=-1,
+        )
+        for row in grid
+    ]
+    return Dense(jnp.concatenate(dense_rows, axis=-2))
+
+
+def submatrix(a, mask):
+    """Principal submatrix selected by a *concrete* boolean mask — used only
+    for NaN missing-data handling, which (like the reference's
+    ``B.jit_to_numpy`` at ``/root/reference/stheno/model/observations.py:73``)
+    must happen outside ``jit``."""
+    mask = np.asarray(mask)
+    if mask.dtype != np.bool_:
+        raise AssertionError("submatrix requires a boolean mask.")
+    idx = np.flatnonzero(mask)
+    a = as_matrix(a)
+    if isinstance(a, Diagonal):
+        return Diagonal(a.diag[..., idx])
+    if isinstance(a, Zero):
+        return Zero(a.dtype, len(idx), len(idx))
+    if isinstance(a, Constant):
+        return Constant(a.const, len(idx), len(idx))
+    if isinstance(a, LowRank):
+        right = None if a.sym else a._right[..., idx, :]
+        return LowRank(a.left[..., idx, :], right, a.middle)
+    if isinstance(a, Woodbury):
+        return Woodbury(submatrix(a.diag, mask), submatrix(a.lr, mask))
+    mat = dense(a)
+    return Dense(mat[..., idx, :][..., :, idx])

@@ -1,0 +1,255 @@
+"""Property tests for the structured-matrix algebra: every structured op must
+agree with the corresponding dense computation (the strategy the reference's
+``matrix`` dependency is validated by)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stheno_tpu.matrix as M
+from tests.util import approx
+
+
+def _rng(seed=0):
+    return np.random.RandomState(seed)
+
+
+def make_psd(n, seed=0, batch=()):
+    r = _rng(seed)
+    a = r.randn(*batch, n, n)
+    return a @ np.swapaxes(a, -1, -2) + n * np.eye(n)
+
+
+def structured_examples(n=6, seed=0):
+    """A battery of (structured, dense-equivalent) PSD-ish square matrices."""
+    r = _rng(seed)
+    d = np.abs(r.randn(n)) + 1.0
+    c = 1.7
+    lr_l = r.randn(n, 2)
+    lr_m = make_psd(2, seed + 1)
+    examples = [
+        M.Dense(jnp.asarray(make_psd(n, seed))),
+        M.Diagonal(jnp.asarray(d)),
+        M.Zero(jnp.float64, n, n),
+        M.Constant(jnp.asarray(c), n, n),
+        M.LowRank(jnp.asarray(lr_l)),
+        M.LowRank(jnp.asarray(lr_l), None, jnp.asarray(lr_m)),
+        M.Woodbury(
+            M.Diagonal(jnp.asarray(d)),
+            M.LowRank(jnp.asarray(lr_l), None, jnp.asarray(lr_m)),
+        ),
+    ]
+    return examples
+
+
+PSD_EXAMPLES = [
+    M.Dense(jnp.asarray(make_psd(6, 3))),
+    M.Diagonal(jnp.asarray(np.abs(_rng(4).randn(6)) + 1.0)),
+    M.Woodbury(
+        M.Diagonal(jnp.asarray(np.abs(_rng(5).randn(6)) + 1.0)),
+        M.LowRank(jnp.asarray(_rng(6).randn(6, 2)), None, jnp.asarray(make_psd(2, 7))),
+    ),
+]
+
+
+@pytest.mark.parametrize("a", structured_examples())
+def test_dense_diag_transpose_trace(a):
+    da = np.asarray(M.dense(a))
+    assert da.shape == a.shape
+    approx(M.diag_of(a), np.diagonal(da, axis1=-2, axis2=-1))
+    approx(M.dense(M.transpose(a)), np.swapaxes(da, -1, -2))
+    approx(M.trace(a), np.trace(da, axis1=-2, axis2=-1))
+
+
+@pytest.mark.parametrize("a", structured_examples(seed=1))
+@pytest.mark.parametrize("b", structured_examples(seed=2))
+def test_add_matmul_multiply(a, b):
+    da, db = np.asarray(M.dense(a)), np.asarray(M.dense(b))
+    approx(M.add(a, b), da + db)
+    approx(M.matmul(a, b), da @ db)
+    approx(M.matmul(a, b, tr_a=True), da.T @ db)
+    approx(M.matmul(a, b, tr_b=True), da @ db.T)
+    approx(M.multiply(a, b), da * db)
+
+
+@pytest.mark.parametrize("a", structured_examples(seed=3))
+def test_scale_and_matmul_array(a):
+    da = np.asarray(M.dense(a))
+    approx(M.scale(a, 2.5), 2.5 * da)
+    v = _rng(9).randn(a.cols, 3)
+    approx(M.matmul(a, jnp.asarray(v)), da @ v)
+    u = _rng(10).randn(4, a.rows)
+    approx(M.matmul(jnp.asarray(u), a), u @ da)
+    approx(M.matmul_diag(a, M.transpose(a)), np.diag(da @ da.T))
+
+
+@pytest.mark.parametrize("a", PSD_EXAMPLES)
+def test_solve_iqf_logdet(a):
+    da = np.asarray(M.dense(a))
+    b = _rng(11).randn(a.rows, 3)
+    approx(M.solve(a, jnp.asarray(b)), np.linalg.solve(da, b), rtol=1e-6, atol=1e-6)
+    approx(
+        M.dense(M.iqf(a, jnp.asarray(b))),
+        b.T @ np.linalg.solve(da, b),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    c = _rng(12).randn(a.rows, 2)
+    approx(
+        M.dense(M.iqf(a, jnp.asarray(b), jnp.asarray(c))),
+        b.T @ np.linalg.solve(da, c),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    approx(
+        M.iqf_diag(a, jnp.asarray(b)),
+        np.diag(b.T @ np.linalg.solve(da, b)),
+        rtol=1e-6,
+        atol=1e-6,
+    )
+    approx(M.logdet(a), np.linalg.slogdet(da)[1], rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("a", PSD_EXAMPLES)
+def test_cholesky(a):
+    da = np.asarray(M.dense(a))
+    L = M.dense(M.cholesky(a))
+    approx(L @ np.asarray(L).T, da, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("a", PSD_EXAMPLES)
+@pytest.mark.parametrize("b", PSD_EXAMPLES)
+def test_ratio(a, b):
+    da, db = np.asarray(M.dense(a)), np.asarray(M.dense(b))
+    approx(M.ratio(a, b), np.trace(np.linalg.solve(db, da)), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("a", PSD_EXAMPLES)
+def test_root(a):
+    da = np.asarray(M.dense(a))
+    r = np.asarray(M.dense(M.root(a)))
+    approx(r @ r, da, rtol=1e-6, atol=1e-6)
+    approx(r, r.T, rtol=1e-6, atol=1e-6)
+
+
+def test_triangular_solve_logdet():
+    L = np.linalg.cholesky(make_psd(5, 21))
+    b = _rng(22).randn(5, 2)
+    lt = M.LowerTriangular(jnp.asarray(L))
+    approx(M.solve(lt, jnp.asarray(b)), np.linalg.solve(L, b), rtol=1e-8)
+    ut = M.transpose(lt)
+    assert isinstance(ut, M.UpperTriangular)
+    approx(M.solve(ut, jnp.asarray(b)), np.linalg.solve(L.T, b), rtol=1e-8)
+    approx(M.logdet(lt), np.sum(np.log(np.diag(L))))
+
+
+def test_structure_preservation():
+    d1 = M.Diagonal(jnp.ones(4))
+    d2 = M.Diagonal(jnp.full(4, 2.0))
+    assert isinstance(M.add(d1, d2), M.Diagonal)
+    assert isinstance(M.matmul(d1, d2), M.Diagonal)
+    z = M.Zero(jnp.float64, 4, 4)
+    assert M.add(d1, z) is d1
+    assert isinstance(M.matmul(d1, z), M.Zero)
+    lr = M.LowRank(jnp.ones((4, 2)))
+    assert isinstance(M.add(d1, lr), M.Woodbury)
+    assert isinstance(M.add(lr, lr), M.LowRank)
+    assert M.add(lr, lr).rank == 4
+    c = M.Constant(jnp.asarray(3.0), 4, 4)
+    assert isinstance(M.add(c, c), M.Constant)
+    assert isinstance(M.cholesky(d1), M.Diagonal)
+    w = M.add(d1, lr)
+    assert isinstance(M.add(w, d2), M.Woodbury)
+    assert isinstance(M.add(w, lr), M.Woodbury)
+    assert isinstance(M.add(w, w), M.Woodbury)
+
+
+def test_fill_diag_eye():
+    fd = M.fill_diag(jnp.asarray(2.0), 5)
+    approx(fd, 2 * np.eye(5))
+    approx(M.eye_like(fd), np.eye(5))
+
+
+def test_block_diag():
+    d = M.Diagonal(jnp.asarray([1.0, 2.0]))
+    z = M.Zero(jnp.float64, 3, 3)
+    out = M.block_diag(d, z)
+    assert isinstance(out, M.Diagonal)
+    approx(out, np.diag([1.0, 2.0, 0.0, 0.0, 0.0]))
+    a = M.Dense(jnp.asarray(_rng(31).randn(2, 2)))
+    out2 = M.block_diag(a, d)
+    expected = np.zeros((4, 4))
+    expected[:2, :2] = np.asarray(a.mat)
+    expected[2:, 2:] = np.diag([1.0, 2.0])
+    approx(out2, expected)
+
+
+def test_block():
+    r = _rng(33)
+    a = M.Dense(jnp.asarray(r.randn(2, 2)))
+    b = M.Dense(jnp.asarray(r.randn(2, 3)))
+    c = M.Dense(jnp.asarray(r.randn(1, 2)))
+    d = M.Dense(jnp.asarray(r.randn(1, 3)))
+    out = M.block([[a, b], [c, d]])
+    expected = np.block(
+        [[np.asarray(a.mat), np.asarray(b.mat)], [np.asarray(c.mat), np.asarray(d.mat)]]
+    )
+    approx(out, expected)
+    # Diagonal fast path.
+    dd = M.Diagonal(jnp.asarray([1.0, 2.0]))
+    z23 = M.Zero(jnp.float64, 2, 3)
+    z32 = M.Zero(jnp.float64, 3, 2)
+    d3 = M.Diagonal(jnp.asarray([3.0, 4.0, 5.0]))
+    out = M.block([[dd, z23], [z32, d3]])
+    assert isinstance(out, M.Diagonal)
+    approx(out, np.diag([1.0, 2, 3, 4, 5]))
+
+
+@pytest.mark.parametrize("a", structured_examples(seed=40))
+def test_submatrix(a):
+    mask = np.array([True, False, True, True, False, True])
+    da = np.asarray(M.dense(a))
+    idx = np.flatnonzero(mask)
+    approx(M.submatrix(a, mask), da[np.ix_(idx, idx)])
+
+
+@pytest.mark.parametrize("a", PSD_EXAMPLES)
+def test_sample_moments(a):
+    key = jax.random.PRNGKey(0)
+    s = M.sample(key, a, num=200_000)
+    da = np.asarray(M.dense(a))
+    emp = np.asarray(s) @ np.asarray(s).T / s.shape[-1]
+    np.testing.assert_allclose(emp, da, atol=0.2 * np.max(np.abs(da)))
+
+
+def test_batched_ops():
+    batch_mats = jnp.asarray(make_psd(4, 17, batch=(3,)))
+    a = M.Dense(batch_mats)
+    b = _rng(18).randn(3, 4, 2)
+    approx(M.solve(a, jnp.asarray(b)), np.linalg.solve(np.asarray(batch_mats), b),
+           rtol=1e-6, atol=1e-6)
+    approx(M.logdet(a), np.linalg.slogdet(np.asarray(batch_mats))[1], rtol=1e-6)
+    d = M.Diagonal(jnp.asarray(np.abs(_rng(19).randn(3, 4)) + 1))
+    approx(M.add(a, d), np.asarray(batch_mats) + np.stack([np.diag(x) for x in np.abs(_rng(19).randn(3, 4)) + 1]))
+
+
+def test_jit_grad_through_structures():
+    def f(d_vals):
+        w = M.Woodbury(
+            M.Diagonal(d_vals),
+            M.LowRank(jnp.ones((4, 1)), None, jnp.asarray([[2.0]])),
+        )
+        return M.logdet(w) + M.iqf_diag(w, jnp.ones((4, 1)))[0]
+
+    d_vals = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    g = jax.grad(f)(d_vals)
+    # Finite-difference check.
+    eps = 1e-6
+    for i in range(4):
+        d_p = d_vals.at[i].add(eps)
+        d_m = d_vals.at[i].add(-eps)
+        fd = (f(d_p) - f(d_m)) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-4)
+    jf = jax.jit(f)
+    np.testing.assert_allclose(jf(d_vals), f(d_vals), rtol=1e-10)
