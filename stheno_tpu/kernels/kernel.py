@@ -495,9 +495,12 @@ class Delta(Kernel):
     def _pairwise(self, x, y):
         if x is y:
             return Diagonal(jnp.ones(x.shape[:-1], dtype=x.dtype))
-        return Dense(
-            jnp.asarray(pw_dists2(x, y) <= self.epsilon**2, dtype=x.dtype)
+        # Exact differences (not the matmul identity): equality must be exact
+        # even when values coincide to the last bit.
+        d2 = jnp.sum(
+            (x[..., :, None, :] - y[..., None, :, :]) ** 2, axis=-1
         )
+        return Dense(jnp.asarray(d2 <= self.epsilon**2, dtype=x.dtype))
 
     def _elwise(self, x, y):
         if x is y:
@@ -845,21 +848,21 @@ class InputTransformedKernel(_InputWrappedKernel):
         f = self.f1 if which == 1 else self.f2
         return x if f is None else f(x)
 
-    # Override evaluation to re-dispatch generically.
-    def _pairwise_raw_inputs(self, x, y):
-        return self._apply(x, 1), self._apply(y, 2)
-
+    # Override evaluation to re-dispatch generically (the transformed input
+    # may be a tuple or an FDD-tagged input).
     def _pairwise(self, x, y):
         from .eval import pairwise
 
-        wx, wy = self._pairwise_raw_inputs(x, y)
-        return pairwise(self.k, wx, wy, _uprank_done=False)
+        wx = self._apply(x, 1)
+        wy = wx if (x is y and self.f1 is self.f2) else self._apply(y, 2)
+        return pairwise(self.k, wx, wy)
 
     def _elwise(self, x, y):
         from .eval import elwise
 
-        wx, wy = self._pairwise_raw_inputs(x, y)
-        return elwise(self.k, wx, wy, _uprank_done=False)
+        wx = self._apply(x, 1)
+        wy = wx if (x is y and self.f1 is self.f2) else self._apply(y, 2)
+        return elwise(self.k, wx, wy)
 
     def _scalar(self, x, y):
         fx = x if self.f1 is None else jnp.asarray(self.f1(x[None, :]))[0]

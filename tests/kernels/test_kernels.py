@@ -1,0 +1,356 @@
+"""Kernel algebra tests: closed-form values, structure-aware Grams, transform
+semantics (incl. the asymmetric per-argument variants the measure's cross
+rules rely on), autodiff derivative kernels, and posterior objects."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stheno_tpu.matrix as M
+from stheno_tpu.kernels import (
+    EQ,
+    RQ,
+    Delta,
+    Exp,
+    Linear,
+    Matern32,
+    Matern52,
+    OneKernel,
+    PosteriorKernel,
+    PosteriorMean,
+    SubspaceKernel,
+    TensorProductKernel,
+    ZeroKernel,
+    ZeroMean,
+    OneMean,
+    TensorProductMean,
+    elwise,
+    mean_eval,
+    mean_var_diag,
+    pairwise,
+)
+from tests.util import approx
+
+
+def _x(n=5, d=2, seed=0):
+    return jnp.asarray(np.random.RandomState(seed).randn(n, d))
+
+
+def _ref_gram(kfun, x, y):
+    x, y = np.atleast_2d(np.asarray(x)), np.atleast_2d(np.asarray(y))
+    return np.array([[kfun(xi, yj) for yj in y] for xi in x])
+
+
+KERNEL_CASES = [
+    (EQ(), lambda xi, yj: np.exp(-0.5 * np.sum((xi - yj) ** 2))),
+    (
+        RQ(1.3),
+        lambda xi, yj: (1 + np.sum((xi - yj) ** 2) / 2.6) ** (-1.3),
+    ),
+    (Exp(), lambda xi, yj: np.exp(-np.linalg.norm(xi - yj))),
+    (
+        Matern32(),
+        lambda xi, yj: (1 + np.sqrt(3) * np.linalg.norm(xi - yj))
+        * np.exp(-np.sqrt(3) * np.linalg.norm(xi - yj)),
+    ),
+    (
+        Matern52(),
+        lambda xi, yj: (
+            1
+            + np.sqrt(5) * np.linalg.norm(xi - yj)
+            + 5 * np.sum((xi - yj) ** 2) / 3
+        )
+        * np.exp(-np.sqrt(5) * np.linalg.norm(xi - yj)),
+    ),
+    (Linear(), lambda xi, yj: np.dot(xi, yj)),
+    (OneKernel(), lambda xi, yj: 1.0),
+    (ZeroKernel(), lambda xi, yj: 0.0),
+]
+
+
+@pytest.mark.parametrize("k,kfun", KERNEL_CASES)
+def test_kernel_values(k, kfun):
+    x, y = _x(5, 2, 0), _x(4, 2, 1)
+    approx(pairwise(k, x, y), _ref_gram(kfun, x, y), rtol=1e-7, atol=1e-9)
+    approx(pairwise(k, x), _ref_gram(kfun, x, x), rtol=1e-7, atol=1e-9)
+    el = elwise(k, x, _x(5, 2, 2))
+    ref = np.array(
+        [[kfun(np.asarray(x)[i], np.asarray(_x(5, 2, 2))[i])] for i in range(5)]
+    )
+    approx(el, ref, rtol=1e-7, atol=1e-9)
+
+
+def test_rank1_inputs():
+    # Vector inputs are treated as n scalar points.
+    x = jnp.asarray([0.0, 1.0, 2.0])
+    K = pairwise(EQ(), x)
+    assert K.shape == (3, 3)
+    approx(M.diag_of(K), np.ones(3))
+
+
+def test_structured_grams():
+    x = _x(6, 2)
+    assert isinstance(pairwise(ZeroKernel(), x), M.Zero)
+    assert isinstance(pairwise(OneKernel(), x), M.Constant)
+    assert isinstance(pairwise(Linear(), x), M.LowRank)
+    assert pairwise(Linear(), x).sym
+    assert isinstance(pairwise(Delta(), x), M.Diagonal)
+    # Delta across different objects compares values.
+    x2 = jnp.asarray(np.asarray(x))
+    K = pairwise(Delta(), x, x2)
+    approx(K, np.eye(6))
+    # EQ + noise stays structured through addition.
+    s = pairwise(EQ(), x) + pairwise(Delta(), x)
+    assert isinstance(s, M.Dense)
+
+
+def test_algebra_sugar():
+    x = _x(5, 1)
+    k = 2 * EQ() + EQ() * EQ()
+    ref = 2 * np.asarray(M.dense(pairwise(EQ(), x))) + np.asarray(
+        M.dense(pairwise(EQ(), x))
+    ) ** 2
+    approx(pairwise(k, x), ref, rtol=1e-8)
+    # Scalar addition adds a constant kernel.
+    k2 = EQ() + 1.5
+    approx(
+        pairwise(k2, x),
+        np.asarray(M.dense(pairwise(EQ(), x))) + 1.5,
+        rtol=1e-8,
+    )
+    # Simplifications.
+    assert EQ() + ZeroKernel() == EQ()
+    assert EQ() * OneKernel() == EQ()
+    assert 1 * EQ() == EQ()
+    assert 0 + EQ() == EQ()
+
+
+def test_equality():
+    assert EQ() == EQ()
+    assert EQ() != Exp()
+    assert EQ() + Linear() == Linear() + EQ()
+    assert EQ() * Linear() == Linear() * EQ()
+    assert EQ().stretch(2.0) == EQ().stretch(2.0)
+    assert EQ().stretch(2.0) != EQ().stretch(3.0)
+    assert RQ(1.0) != RQ(2.0)
+    assert EQ().periodic(2.0) == EQ().periodic(2.0)
+
+
+def test_stretch():
+    x = _x(5, 2)
+    approx(
+        pairwise(EQ().stretch(2.0), x),
+        M.dense(pairwise(EQ(), x / 2.0)),
+        rtol=1e-8,
+    )
+    # Asymmetric stretch: only the first argument.
+    y = _x(4, 2, 3)
+    approx(
+        pairwise(EQ().stretch(2.0, 1.0), x, y),
+        M.dense(pairwise(EQ(), x / 2.0, y)),
+        rtol=1e-8,
+    )
+    # Per-dimension stretch.
+    s = jnp.asarray([1.0, 3.0])
+    approx(
+        pairwise(EQ().stretch(s), x, y),
+        M.dense(pairwise(EQ(), x / s, y / s)),
+        rtol=1e-8,
+    )
+
+
+def test_shift():
+    x, y = _x(5, 1), _x(4, 1, 3)
+    approx(
+        pairwise(Linear().shift(1.0), x, y),
+        M.dense(pairwise(Linear(), x - 1.0, y - 1.0)),
+        rtol=1e-8,
+    )
+    approx(
+        pairwise(Linear().shift(1.0, 0.0), x, y),
+        M.dense(pairwise(Linear(), x - 1.0, y)),
+        rtol=1e-8,
+    )
+    # EQ is stationary: shared shift is a no-op.
+    approx(
+        pairwise(EQ().shift(2.0), x, y), M.dense(pairwise(EQ(), x, y)), rtol=1e-8
+    )
+
+
+def test_select_transform():
+    x = _x(5, 3)
+    y = _x(4, 3, 7)
+    approx(
+        pairwise(EQ().select([0, 2]), x, y),
+        M.dense(pairwise(EQ(), x[:, [0, 2]], y[:, [0, 2]])),
+        rtol=1e-8,
+    )
+    # Asymmetric select with None = keep everything.
+    k = EQ().select([0, 1, 2], None)
+    approx(pairwise(k, x, y), M.dense(pairwise(EQ(), x, y)), rtol=1e-8)
+    f = lambda z: z**2
+    approx(
+        pairwise(EQ().transform(f), x, y),
+        M.dense(pairwise(EQ(), x**2, y**2)),
+        rtol=1e-8,
+    )
+
+
+def test_periodic():
+    x = jnp.linspace(0, 3, 7)[:, None]
+    k = EQ().periodic(1.0)
+    K = np.asarray(M.dense(pairwise(k, x)))
+    # Exact period-1 invariance.
+    Kshift = np.asarray(M.dense(pairwise(k, x + 1.0, x)))
+    np.testing.assert_allclose(K, Kshift, atol=1e-10)
+    # Closed form: exp(-2 sin^2(pi tau / p)).
+    tau = np.asarray(x) - np.asarray(x).T
+    ref = np.exp(-2 * np.sin(np.pi * tau) ** 2)
+    np.testing.assert_allclose(K, ref, atol=1e-10)
+    assert k.stationary
+
+
+def test_tensor_product_kernel():
+    x, y = _x(5, 1), _x(4, 1, 3)
+    f = lambda z: jnp.sum(z, axis=-1) ** 2
+    g = lambda z: jnp.sum(z, axis=-1) + 1
+    k = TensorProductKernel(f, g)
+    K = pairwise(k, x, y)
+    assert isinstance(K, M.LowRank)
+    fx = (np.asarray(x)[:, 0] ** 2)[:, None]
+    gy = (np.asarray(y)[:, 0] + 1)[None, :]
+    approx(K, fx * gy, rtol=1e-8)
+
+
+def test_derivative_kernel():
+    # d/dx d/dy EQ for scalar inputs: k''(x,y) = (1 - (x-y)^2) exp(-(x-y)^2/2).
+    x = jnp.linspace(-1, 1, 5)[:, None]
+    y = jnp.linspace(-0.5, 1.5, 4)[:, None]
+    k = EQ().diff(0)
+    K = np.asarray(M.dense(pairwise(k, x, y)))
+    tau = np.asarray(x) - np.asarray(y).T
+    ref = (1 - tau**2) * np.exp(-0.5 * tau**2)
+    np.testing.assert_allclose(K, ref, rtol=1e-7, atol=1e-9)
+    # Asymmetric: d/dx only.
+    k1 = EQ().diff(0, None)
+    K1 = np.asarray(M.dense(pairwise(k1, x, y)))
+    ref1 = -tau * np.exp(-0.5 * tau**2)
+    np.testing.assert_allclose(K1, ref1, rtol=1e-7, atol=1e-9)
+    # Elwise consistency.
+    el = np.asarray(elwise(k, x, x))
+    np.testing.assert_allclose(el[:, 0], np.diag(np.asarray(M.dense(pairwise(k, x)))), rtol=1e-7)
+
+
+def test_batched_inputs():
+    xb = jnp.asarray(np.random.RandomState(0).randn(3, 5, 2))
+    K = pairwise(EQ(), xb)
+    assert K.shape == (3, 5, 5)
+    for i in range(3):
+        approx(
+            M.dense(K)[i],
+            M.dense(pairwise(EQ(), xb[i])),
+            rtol=1e-8,
+        )
+
+
+def test_means():
+    x = _x(5, 2)
+    approx(mean_eval(ZeroMean(), x), np.zeros((5, 1)))
+    approx(mean_eval(OneMean(), x), np.ones((5, 1)))
+    f = lambda z: jnp.sum(z, axis=-1)
+    m = TensorProductMean(f)
+    approx(mean_eval(m, x), np.sum(np.asarray(x), axis=-1, keepdims=True))
+    m2 = 2 * m + 1
+    approx(
+        mean_eval(m2, x),
+        2 * np.sum(np.asarray(x), axis=-1, keepdims=True) + 1,
+        rtol=1e-8,
+    )
+    # Transforms.
+    approx(
+        mean_eval(m.shift(1.0), x),
+        np.sum(np.asarray(x) - 1, axis=-1, keepdims=True),
+        rtol=1e-8,
+    )
+    approx(
+        mean_eval(m.stretch(2.0), x),
+        np.sum(np.asarray(x) / 2, axis=-1, keepdims=True),
+        rtol=1e-8,
+    )
+    # Derivative mean: d/dx0 of sum(x) = 1.
+    approx(mean_eval(m.diff(0), x), np.ones((5, 1)), rtol=1e-8)
+
+
+def test_posterior_objects():
+    r = np.random.RandomState(0)
+    z = jnp.asarray(r.randn(10, 1))
+    x = jnp.asarray(r.randn(6, 1))
+    y_obs = jnp.asarray(r.randn(10, 1))
+    k = EQ()
+    K_z = pairwise(k, z) + M.fill_diag(jnp.asarray(0.1), 10)
+
+    pk = PosteriorKernel(k, k, k, z, K_z)
+    pm = PosteriorMean(ZeroMean(), ZeroMean(), k, z, K_z, y_obs)
+
+    Kz_np = np.asarray(M.dense(K_z))
+    Kzx = np.asarray(M.dense(pairwise(k, z, x)))
+    ref_var = np.asarray(M.dense(pairwise(k, x))) - Kzx.T @ np.linalg.solve(
+        Kz_np, Kzx
+    )
+    ref_mean = Kzx.T @ np.linalg.solve(Kz_np, np.asarray(y_obs))
+    approx(pairwise(pk, x), ref_var, rtol=1e-6, atol=1e-8)
+    approx(mean_eval(pm, x), ref_mean, rtol=1e-6, atol=1e-8)
+    # Elwise agrees with the pairwise diagonal.
+    approx(
+        elwise(pk, x, x)[:, 0],
+        np.diag(ref_var),
+        rtol=1e-6,
+        atol=1e-8,
+    )
+    # Subspace kernel.
+    A = pairwise(k, z) + M.fill_diag(jnp.asarray(0.5), 10)
+    sk = SubspaceKernel(k, k, z, A)
+    ref_sub = Kzx.T @ np.linalg.solve(np.asarray(M.dense(A)), Kzx)
+    approx(pairwise(sk, x), ref_sub, rtol=1e-6, atol=1e-8)
+
+    # Fused mean_var_diag matches unfused.
+    mean_f, vd_f = mean_var_diag(pm, pk, x)
+    approx(mean_f, ref_mean, rtol=1e-6, atol=1e-8)
+    approx(vd_f[:, 0], np.diag(ref_var), rtol=1e-6, atol=1e-8)
+    mean_s, vd_s = mean_var_diag(pm, pk + sk, x)
+    approx(vd_s[:, 0], np.diag(ref_var + ref_sub), rtol=1e-6, atol=1e-8)
+
+
+def test_grad_through_kernel_params():
+    # NLML-style gradient w.r.t. a lengthscale used in stretch.
+    x = _x(8, 1)
+    y = jnp.asarray(np.random.RandomState(3).randn(8, 1))
+
+    def nlml(log_ell):
+        k = EQ().stretch(jnp.exp(log_ell))
+        K = pairwise(k, x) + M.fill_diag(jnp.asarray(0.1), 8)
+        return 0.5 * (M.logdet(K) + M.iqf_diag(K, y)[0])
+
+    g = jax.grad(nlml)(jnp.asarray(0.3))
+    eps = 1e-6
+    fd = (nlml(jnp.asarray(0.3 + eps)) - nlml(jnp.asarray(0.3 - eps))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-5)
+
+
+def test_stationarity_flags():
+    assert EQ().stationary
+    assert not Linear().stationary
+    assert (EQ() + Exp()).stationary
+    assert not (EQ() + Linear()).stationary
+    assert EQ().stretch(2.0).stationary
+    assert not EQ().stretch(2.0, 1.0).stationary
+    assert EQ().shift(2.0).stationary
+    assert not EQ().transform(lambda x: x).stationary
+
+
+def test_display():
+    assert str(EQ()) == "EQ()"
+    assert str(EQ() + Exp()) == "EQ() + Exp()"
+    assert str(2 * EQ()) == "2 * EQ()"
+    assert "RQ" in str(RQ(0.5))

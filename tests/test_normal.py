@@ -1,0 +1,208 @@
+"""Normal distribution tests, mirroring the reference's strategy
+(``/root/reference/tests/test_random.py``): logpdf/entropy vs scipy, KL vs
+Monte Carlo, sampling moments, affine arithmetic, lazy-thunk discipline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.stats import multivariate_normal
+
+import stheno_tpu.matrix as M
+from stheno_tpu import Normal
+from tests.util import approx
+
+
+def _case(n=4, seed=0):
+    r = np.random.RandomState(seed)
+    mean = r.randn(n, 1)
+    a = r.randn(n, n)
+    var = a @ a.T + n * np.eye(n)
+    return jnp.asarray(mean), M.Dense(jnp.asarray(var))
+
+
+def test_logpdf_vs_scipy():
+    mean, var = _case()
+    dist = Normal(mean, var)
+    x = np.random.RandomState(1).randn(4, 1)
+    ref = multivariate_normal.logpdf(
+        x[:, 0], np.asarray(mean)[:, 0], np.asarray(M.dense(var))
+    )
+    approx(dist.logpdf(jnp.asarray(x)), ref, rtol=1e-8)
+    # Multiple columns -> per-column logpdfs.
+    xs = np.random.RandomState(2).randn(4, 3)
+    refs = [
+        multivariate_normal.logpdf(
+            xs[:, i], np.asarray(mean)[:, 0], np.asarray(M.dense(var))
+        )
+        for i in range(3)
+    ]
+    approx(dist.logpdf(jnp.asarray(xs)), np.asarray(refs), rtol=1e-8)
+
+
+def test_logpdf_missing_data():
+    mean, var = _case()
+    dist = Normal(mean, var)
+    x = np.random.RandomState(1).randn(4, 1)
+    x_missing = x.copy()
+    x_missing[1, 0] = np.nan
+    keep = [0, 2, 3]
+    ref = multivariate_normal.logpdf(
+        x[keep, 0],
+        np.asarray(mean)[keep, 0],
+        np.asarray(M.dense(var))[np.ix_(keep, keep)],
+    )
+    approx(dist.logpdf(jnp.asarray(x_missing)), ref, rtol=1e-8)
+
+
+def test_entropy_kl():
+    mean1, var1 = _case(4, 0)
+    mean2, var2 = _case(4, 1)
+    d1, d2 = Normal(mean1, var1), Normal(mean2, var2)
+    ref_ent = multivariate_normal(
+        np.asarray(mean1)[:, 0], np.asarray(M.dense(var1))
+    ).entropy()
+    approx(d1.entropy(), ref_ent, rtol=1e-8)
+    # KL via closed form in numpy.
+    S1, S2 = np.asarray(M.dense(var1)), np.asarray(M.dense(var2))
+    m1, m2 = np.asarray(mean1), np.asarray(mean2)
+    ref_kl = 0.5 * (
+        np.trace(np.linalg.solve(S2, S1))
+        + (m2 - m1).T @ np.linalg.solve(S2, m2 - m1)
+        - 4
+        + np.linalg.slogdet(S2)[1]
+        - np.linalg.slogdet(S1)[1]
+    )
+    approx(d1.kl(d2), ref_kl[0, 0], rtol=1e-8)
+    assert float(d1.kl(d1)) == pytest.approx(0.0, abs=1e-8)
+
+
+def test_w2():
+    mean1, var1 = _case(4, 0)
+    mean2, var2 = _case(4, 1)
+    d1, d2 = Normal(mean1, var1), Normal(mean2, var2)
+    assert float(d1.w2(d1)) == pytest.approx(0.0, abs=1e-5)
+    assert float(d1.w2(d2)) > 0
+    # Symmetry.
+    approx(d1.w2(d2), d2.w2(d1), rtol=1e-6)
+
+
+def test_sampling_moments():
+    mean, var = _case(3, 2)
+    dist = Normal(mean, var)
+    key = jax.random.PRNGKey(0)
+    key, s = dist.sample(key, 100_000)
+    assert s.shape == (3, 100_000)
+    emp_mean = np.mean(np.asarray(s), axis=1, keepdims=True)
+    np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=0.05)
+    centred = np.asarray(s) - emp_mean
+    emp_var = centred @ centred.T / s.shape[1]
+    np.testing.assert_allclose(emp_var, np.asarray(M.dense(var)), atol=0.2)
+    # Global-RNG variant.
+    s2 = dist.sample(5)
+    assert s2.shape == (3, 5)
+    # Noise argument inflates the variance.
+    key, s3 = dist.sample(jax.random.PRNGKey(1), 50_000, noise=4.0)
+    emp3 = np.var(np.asarray(s3), axis=1)
+    np.testing.assert_allclose(
+        emp3, np.diag(np.asarray(M.dense(var))) + 4.0, rtol=0.15
+    )
+
+
+def test_marginals_and_bounds():
+    mean, var = _case(5, 3)
+    dist = Normal(mean, var)
+    m, v = dist.marginals()
+    approx(m, np.asarray(mean)[:, 0])
+    approx(v, np.diag(np.asarray(M.dense(var))))
+    m2, lo, hi = dist.marginal_credible_bounds()
+    approx(hi - m2, 1.96 * np.sqrt(v), rtol=1e-8)
+
+
+def test_lazy_thunks_not_called_early():
+    calls = []
+
+    def mean_fn():
+        calls.append("mean")
+        return jnp.zeros((3, 1))
+
+    def var_fn():
+        calls.append("var")
+        return M.Diagonal(jnp.ones(3))
+
+    def var_diag_fn():
+        calls.append("var_diag")
+        return jnp.ones((3, 1))
+
+    def mean_var_diag_fn():
+        calls.append("mvd")
+        return jnp.zeros((3, 1)), jnp.ones((3, 1))
+
+    dist = Normal(
+        mean_fn, var_fn, var_diag=var_diag_fn, mean_var_diag=mean_var_diag_fn
+    )
+    assert calls == []
+    dist.marginals()
+    # marginals must use the fused path, not the full var.
+    assert "var" not in calls
+    assert "mvd" in calls
+
+
+def test_affine():
+    mean, var = _case(3, 4)
+    dist = Normal(mean, var)
+    d2 = dist + 2.0
+    approx(d2.mean, np.asarray(mean) + 2)
+    approx(d2.var, M.dense(var))
+    d3 = dist * 3.0
+    approx(d3.mean, 3 * np.asarray(mean))
+    approx(d3.var, 9 * np.asarray(M.dense(var)))
+    d4 = dist - dist * 0.5  # Note: treats the two as independent.
+    a = np.random.RandomState(5).randn(2, 3)
+    d5 = dist.lmatmul(jnp.asarray(a))
+    approx(d5.mean, a @ np.asarray(mean))
+    approx(d5.var, a @ np.asarray(M.dense(var)) @ a.T, rtol=1e-8)
+    d6 = dist.rmatmul(jnp.asarray(a.T))
+    approx(d6.mean, a @ np.asarray(mean))
+    # Errors.
+    with pytest.raises(NotImplementedError):
+        dist * dist
+    # Division by scalar.
+    d7 = dist / 2
+    approx(d7.mean, np.asarray(mean) / 2)
+
+
+def test_diagonal_variance_structure():
+    dist = Normal(M.Diagonal(jnp.asarray([1.0, 2.0, 3.0])))
+    assert dist.mean_is_zero
+    approx(dist.mean, np.zeros((3, 1)))
+    ld = dist.logpdf(jnp.asarray([0.0, 0.0, 0.0]))
+    ref = multivariate_normal.logpdf(np.zeros(3), np.zeros(3), np.diag([1, 2, 3.0]))
+    approx(ld, ref, rtol=1e-8)
+
+
+def test_batched_logpdf():
+    r = np.random.RandomState(0)
+    a = r.randn(2, 4, 4)
+    var = jnp.asarray(a @ np.swapaxes(a, -1, -2) + 4 * np.eye(4))
+    mean = jnp.asarray(r.randn(2, 4, 1))
+    dist = Normal(mean, M.Dense(var))
+    x = r.randn(2, 4, 1)
+    out = dist.logpdf(jnp.asarray(x))
+    assert out.shape == (2,)
+    for i in range(2):
+        ref = multivariate_normal.logpdf(
+            x[i, :, 0], np.asarray(mean)[i, :, 0], np.asarray(var)[i]
+        )
+        np.testing.assert_allclose(out[i], ref, rtol=1e-8)
+
+
+def test_jit_logpdf():
+    mean, var = _case(4, 7)
+
+    @jax.jit
+    def f(x):
+        return Normal(mean, var).logpdf(x)
+
+    x = jnp.asarray(np.random.RandomState(3).randn(4, 1))
+    approx(f(x), Normal(mean, var).logpdf(x), rtol=1e-10)
