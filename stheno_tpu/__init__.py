@@ -11,8 +11,9 @@ from . import config
 from .matrix import *  # noqa: F401,F403
 from .kernels import *  # noqa: F401,F403
 from .dist import *  # noqa: F401,F403
-from .model import *  # noqa: F401,F403
+from .lazy import LazyMatrix, LazyVector
 from .mo import *  # noqa: F401,F403
+from .model import *  # noqa: F401,F403
 
 
 class BreakingChangeWarning(UserWarning):

@@ -572,6 +572,38 @@ class TensorProductKernel(Kernel):
 # ---------------------------------------------------------------------------
 
 
+class _SwappedKernel(Kernel):
+    """``k`` with its arguments swapped: the default cross-kernel right rule
+    (the reference's ``reversed(self.kernels[p, i])``,
+    ``/root/reference/stheno/model/measure.py:110-112``)."""
+
+    def __init__(self, k):
+        self.k = k
+
+    def _pairwise(self, x, y):
+        from ..matrix import transpose
+
+        return transpose(self.k._pairwise(y, x))
+
+    def _elwise(self, x, y):
+        return self.k._elwise(y, x)
+
+    def _scalar(self, x, y):
+        return self.k._scalar(y, x)
+
+    @property
+    def stationary(self):
+        return self.k.stationary
+
+    def _render(self, formatter):
+        return f"swap({self.k.display(formatter)})"
+
+    def __eq__(self, other):
+        return isinstance(other, _SwappedKernel) and self.k == other.k
+
+    __hash__ = Kernel.__hash__
+
+
 class SumKernel(Kernel):
     def __init__(self, k1, k2):
         self.k1 = k1

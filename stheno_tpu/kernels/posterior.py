@@ -84,6 +84,14 @@ class PosteriorKernel(Kernel):
         correction = iqf_diag(self.K_z, dense(K_zx), dense(K_zy))
         return prior - correction[..., :, None]
 
+    def _scalar(self, x, y):
+        from .eval import pairwise
+
+        K_zx = dense(pairwise(self.k_zi, self.z, x[None, :]))
+        K_zy = dense(pairwise(self.k_zj, self.z, y[None, :]))
+        corr = jnp.sum(K_zx * solve(self.K_z, K_zy))
+        return self.k_ij._scalar(x, y) - corr
+
     @property
     def stationary(self):
         return False
@@ -116,6 +124,13 @@ class SubspaceKernel(Kernel):
             self.k_zj, self.z, y
         )
         return iqf_diag(self.A, dense(K_zx), dense(K_zy))[..., :, None]
+
+    def _scalar(self, x, y):
+        from .eval import pairwise
+
+        K_zx = dense(pairwise(self.k_zi, self.z, x[None, :]))
+        K_zy = dense(pairwise(self.k_zj, self.z, y[None, :]))
+        return jnp.sum(K_zx * solve(self.A, K_zy))
 
     @property
     def stationary(self):
@@ -152,6 +167,12 @@ class PosteriorMean(Mean):
         return prior + jnp.matmul(
             jnp.swapaxes(dense(K_zx), -1, -2), self._weights()
         )
+
+    def _scalar(self, x):
+        from .eval import pairwise
+
+        K_zx = dense(pairwise(self.k_zi, self.z, x[None, :]))
+        return self.m_i._scalar(x) + jnp.sum(K_zx[..., 0] * self._weights()[..., 0])
 
     def _render(self, formatter):
         return f"PosteriorMean({self.m_i.display(formatter)})"

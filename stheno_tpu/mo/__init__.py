@@ -1,1 +1,17 @@
-__all__ = []
+from .core import (
+    AmbiguousDimensionalityKernel,
+    MultiOutputKernel,
+    MultiOutputMean,
+    dimensionality,
+    infer_size,
+    num_elements,
+)
+
+__all__ = [
+    "AmbiguousDimensionalityKernel",
+    "MultiOutputKernel",
+    "MultiOutputMean",
+    "dimensionality",
+    "infer_size",
+    "num_elements",
+]
