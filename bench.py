@@ -1,0 +1,56 @@
+"""Benchmark: exact GP NLML at N=2,000 (the reference's headline number:
+219 ms +/- 35.7 ms per call on CPU, README_without_examples.md:689-690).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Runs on whatever backend JAX selects (TPU under the driver)."""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_MS = 219.0  # Reference's published per-call latency (CPU %timeit).
+
+
+def main():
+    from stheno_tpu import EQ, GP
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    n = 2000
+    x = jnp.linspace(0.0, 10.0, n, dtype=dtype)
+    y = jnp.sin(x) + 0.3 * jnp.cos(3.2 * x)
+
+    @jax.jit
+    def nlml(y):
+        # Periodic-EQ prior with noise, matching the reference's benchmark
+        # model (`README_without_examples.md:666-690`).
+        f = GP(EQ().stretch(jnp.asarray(2.0, dtype)).periodic(jnp.asarray(1.0, dtype)))
+        return -f.measure.logpdf(f(x, jnp.asarray(0.1, dtype)), y)
+
+    # Warmup/compile.
+    nlml(y).block_until_ready()
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = nlml(y)
+    out.block_until_ready()
+    per_call_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    print(
+        json.dumps(
+            {
+                "metric": "exact_gp_logpdf_n2000_latency",
+                "value": round(per_call_ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / per_call_ms, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,11 @@
-__all__ = []
+from .hmc import sample_hmc
+from .minimise import minimise_adam, minimise_l_bfgs_b, minimise_lbfgs
+from .vars import Vars
+
+__all__ = [
+    "Vars",
+    "minimise_adam",
+    "minimise_lbfgs",
+    "minimise_l_bfgs_b",
+    "sample_hmc",
+]

@@ -1,0 +1,179 @@
+"""Distributed blocked Cholesky and triangular solve over a device mesh.
+
+The reference is single-device; scaling exact GPs to N >= 10^5 is this
+build's north star (BASELINE.json; SURVEY.md §2.10-§2.11). The layout is
+row-block: device ``d`` of ``D`` owns rows ``[d*N/D, (d+1)*N/D)`` of the
+N x N matrix. The factorisation is right-looking: for each column block, the
+column panel is assembled with ``all_gather`` (ICI ring), every device
+triangular-solves its panel rows locally, and applies a rank-``block``
+trailing update with one large MXU matmul. Collectives are XLA's
+(``all_gather``/``psum``) inside ``shard_map`` — no hand-rolled NCCL.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .. import config
+
+__all__ = ["dist_cholesky", "dist_solve_lower", "make_data_mesh"]
+
+
+def make_data_mesh(n_devices=None, axis="data"):
+    """A 1D mesh over all (or the first ``n_devices``) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+
+    return jax.sharding.Mesh(np.array(devices), (axis,))
+
+
+
+def _i32(v):
+    return jnp.asarray(v, dtype=jnp.int32)
+
+
+def _dslice(arr, r, c, nr, nc):
+    return lax.dynamic_slice(arr, (_i32(r), _i32(c)), (nr, nc))
+
+
+def _dupdate(arr, val, r, c):
+    return lax.dynamic_update_slice(arr, val, (_i32(r), _i32(c)))
+
+def _chol_local(block_mat):
+    eps = config.jitter(block_mat.dtype)
+    b = block_mat.shape[-1]
+    return jnp.linalg.cholesky(block_mat + eps * jnp.eye(b, dtype=block_mat.dtype))
+
+
+def _dist_cholesky_shard(K_local, *, axis, block):
+    """shard_map body: K_local is (n_local, N); returns the local rows of the
+    lower Cholesky factor."""
+    d = lax.axis_index(axis)
+    n_local, N = K_local.shape
+    nb = N // block
+    row0 = (d * n_local).astype(jnp.int32)
+    grows = row0 + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)[:, 0]
+
+    def body(jb, A):
+        col0 = (jb * block).astype(jnp.int32)
+        # Assemble the full column panel (N, block) over the ring.
+        my_col = _dslice(A, 0, col0, n_local, block)
+        panel = lax.all_gather(my_col, axis, tiled=True)  # (N, block)
+        diag = _dslice(panel, col0, 0, block, block)
+        L_jj = _chol_local(diag)
+        # P = panel @ L_jj^{-T}: triangular solve against every row.
+        P = lax.linalg.triangular_solve(
+            L_jj, panel, left_side=False, lower=True, transpose_a=True
+        )
+        rows_all = lax.broadcasted_iota(jnp.int32, (N, 1), 0)[:, 0]
+        below = rows_all >= col0 + block
+        in_diag = (rows_all >= col0) & (rows_all < col0 + block)
+        # The finished column block of L: L_jj on the diagonal rows, P below,
+        # zero above.
+        L_jj_padded = jnp.zeros((N, block), A.dtype)
+        L_jj_padded = _dupdate(L_jj_padded, L_jj, col0, 0)
+        Lcol = jnp.where(below[:, None], P, 0.0) + L_jj_padded
+        # Write my rows back.
+        my_Lcol = _dslice(Lcol, row0, 0, n_local, block)
+        A = _dupdate(A, my_Lcol, 0, col0)
+        # Trailing update with masked factors: U = P_below_my @ P_below^T
+        # only touches rows/cols >= col0 + block.
+        # (Columns in or before the current block are untouched: the
+        # corresponding rows of P_below are zeroed.)
+        P_below = jnp.where(below[:, None], P, 0.0)
+        P_my = _dslice(P_below, row0, 0, n_local, block)
+        A = A - jnp.matmul(P_my, P_below.T, preferred_element_type=A.dtype)
+        return A
+
+    A = lax.fori_loop(0, nb, body, K_local)
+    # Zero the strict upper triangle.
+    cols_all = lax.broadcasted_iota(jnp.int32, (n_local, N), 1)
+    return jnp.where(cols_all <= grows[:, None], A, 0.0)
+
+
+def dist_cholesky(K, mesh, axis="data", block=256):
+    """Lower Cholesky factor of a row-block-sharded PSD matrix ``K``.
+
+    ``K`` must be ``(N, N)`` with ``N`` divisible by ``mesh.shape[axis] *
+    block``... (``block`` is clipped to ``N // D`` when larger)."""
+    N = K.shape[-1]
+    D = mesh.shape[axis]
+    block = min(block, N // D)
+    while N % (D * block) != 0 or (N // block) * block != N:
+        block //= 2
+        if block == 0:
+            raise ValueError(f"Cannot tile N={N} over {D} devices.")
+    fn = shard_map(
+        partial(_dist_cholesky_shard, axis=axis, block=block),
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=P(axis, None),
+    )
+    return fn(K)
+
+
+def _dist_solve_lower_shard(L_local, B_local, *, axis, block):
+    """shard_map body: solve ``L X = B`` by blocked forward substitution.
+    ``L_local``: (n_local, N) rows of lower-triangular L; ``B_local``:
+    (n_local, M)."""
+    d = lax.axis_index(axis)
+    n_local, N = L_local.shape
+    M = B_local.shape[1]
+    nb = N // block
+    row0 = (d * n_local).astype(jnp.int32)
+
+    X_local = jnp.zeros_like(B_local)
+
+    def body(jb, carry):
+        X_local, R_local = carry  # R is the running residual of B.
+        col0 = (jb * block).astype(jnp.int32)
+        owner = col0 // n_local
+        local_off = col0 - owner * n_local
+        is_owner = d == owner
+        # Owner contributes the diagonal block of L and the block rows of R.
+        L_jj_cand = _dslice(L_local, jnp.where(is_owner, local_off, 0), col0, block, block)
+        R_j_cand = _dslice(R_local, jnp.where(is_owner, local_off, 0), 0, block, M)
+        zero = jnp.zeros_like(L_jj_cand)
+        L_jj = lax.psum(jnp.where(is_owner, L_jj_cand, zero), axis)
+        R_j = lax.psum(
+            jnp.where(is_owner, R_j_cand, jnp.zeros_like(R_j_cand)), axis
+        )
+        X_j = lax.linalg.triangular_solve(
+            L_jj, R_j, left_side=True, lower=True
+        )
+        # Everyone stores their rows of X_j.
+        upd = _dupdate(jnp.zeros_like(X_local), X_j, local_off, 0)
+        X_local = jnp.where(is_owner, X_local + upd, X_local)
+        # Update residual: R -= L[:, col] X_j for rows strictly below the block.
+        L_col = _dslice(L_local, 0, col0, n_local, block)
+        grows = row0 + lax.broadcasted_iota(jnp.int32, (n_local, 1), 0)[:, 0]
+        mask = (grows >= col0 + block)[:, None]
+        R_local = R_local - jnp.where(
+            mask, jnp.matmul(L_col, X_j, preferred_element_type=R_local.dtype), 0.0
+        )
+        return X_local, R_local
+
+    X_local, _ = lax.fori_loop(0, nb, body, (X_local, B_local))
+    return X_local
+
+
+def dist_solve_lower(L, B, mesh, axis="data", block=256):
+    """Solve ``L X = B`` with ``L`` lower-triangular, both row-block sharded."""
+    N = L.shape[-1]
+    D = mesh.shape[axis]
+    block = min(block, N // D)
+    while N % (D * block) != 0:
+        block //= 2
+    fn = shard_map(
+        partial(_dist_solve_lower_shard, axis=axis, block=block),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    return fn(L, B)

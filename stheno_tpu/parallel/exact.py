@@ -1,0 +1,121 @@
+"""Distributed exact-GP inference: sharded Gram build, NLML with a custom
+VJP, and posterior prediction — the multi-chip path for N >= 10^5 exact GPs
+(BASELINE.json north star).
+
+Design: inputs are small (N x d) and replicated; the N x N Gram is row-block
+sharded over the mesh ``data`` axis. The Gram build is plain jnp under GSPMD
+with a sharding constraint (XLA partitions the distance matmul); the
+factorisation uses :func:`dist_cholesky` (shard_map + ICI collectives). The
+NLML gradient is supplied analytically — ``dK = 0.5 (K^{-1} - a a^T)`` with
+``a = K^{-1} y`` — so the blocked factorisation loop never needs reverse-mode
+unrolling."""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..kernels import pairwise
+from ..matrix import dense
+from .cholesky import dist_cholesky, dist_solve_lower
+
+__all__ = ["sharded_gram", "dist_nlml", "dist_posterior_predict"]
+
+_LOG_2_PI = math.log(2 * math.pi)
+
+
+def sharded_gram(kernel, x, mesh, axis="data", noise=None):
+    """Dense Gram matrix ``k(x, x) (+ noise I)`` with rows sharded over
+    ``axis``. ``x``: (N, d) replicated; returns (N, N) row-sharded."""
+    K = jnp.asarray(dense(pairwise(kernel, x)))
+    if noise is not None:
+        K = K + noise * jnp.eye(K.shape[-1], dtype=K.dtype)
+    return jax.lax.with_sharding_constraint(K, NamedSharding(mesh, P(axis, None)))
+
+
+def _logdet_from_L(L):
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+def dist_nlml(K, y, mesh, axis="data", block=256):
+    """Negative log marginal likelihood ``0.5 (logdet K + y^T K^{-1} y +
+    N log 2pi)`` for a row-sharded ``K``; differentiable w.r.t. ``K`` (and
+    ``y``) via the analytic gradient."""
+    return _dist_nlml(K, y, mesh, axis, block)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _dist_nlml(K, y, mesh, axis, block):
+    nlml, _ = _dist_nlml_fwd(K, y, mesh, axis, block)
+    return nlml
+
+
+def _dist_nlml_fwd(K, y, mesh, axis, block):
+    N = K.shape[-1]
+    L = dist_cholesky(K, mesh, axis=axis, block=block)
+    y = y if y.ndim == 2 else y[:, None]
+    half = dist_solve_lower(L, y, mesh, axis=axis, block=block)  # L^{-1} y
+    quad = jnp.sum(half * half)
+    nlml = 0.5 * (_logdet_from_L(L) + quad + N * _LOG_2_PI)
+    return nlml, (L, half, y)
+
+
+def _dist_nlml_bwd(mesh, axis, block, residuals, g):
+    L, half, y = residuals
+    N = L.shape[-1]
+    # alpha = K^{-1} y = L^{-T} (L^{-1} y).
+    alpha = _solve_upper_from_lower(L, half, mesh, axis, block)
+    # K^{-1} = L^{-T} L^{-1}: column-block by column-block via the identity.
+    eye = jnp.eye(N, dtype=L.dtype)
+    eye = jax.lax.with_sharding_constraint(
+        eye, NamedSharding(mesh, P(axis, None))
+    )
+    Linv = dist_solve_lower(L, eye, mesh, axis=axis, block=block)  # L^{-1}
+    Kinv = jnp.matmul(Linv.T, Linv, preferred_element_type=L.dtype)
+    Kinv = jax.lax.with_sharding_constraint(
+        Kinv, NamedSharding(mesh, P(axis, None))
+    )
+    Kbar = 0.5 * g * (Kinv - jnp.matmul(alpha, alpha.T))
+    ybar = g * alpha
+    return Kbar, ybar if y.ndim == 2 else ybar[:, 0]
+
+
+def _solve_upper_from_lower(L, b, mesh, axis, block):
+    """Solve ``L^T x = b`` using the lower solver on the reversed system.
+
+    ``(L^T)^{-1} = J (J L^T J)^{-1} J`` where ``J`` is the reversal — and
+    ``J L^T J`` is lower-triangular."""
+    Lr = L[::-1, ::-1].T  # J L^T J: lower-triangular.
+    br = b[::-1]
+    Lr = jax.lax.with_sharding_constraint(
+        Lr, NamedSharding(mesh, P(axis, None))
+    )
+    br = jax.lax.with_sharding_constraint(br, NamedSharding(mesh, P(axis, None)))
+    xr = dist_solve_lower(Lr, br, mesh, axis=axis, block=block)
+    return xr[::-1]
+
+
+_dist_nlml.defvjp(_dist_nlml_fwd, _dist_nlml_bwd)
+
+
+def dist_posterior_predict(kernel, x, y, x_new, noise, mesh, axis="data", block=256):
+    """Posterior mean and variance-diagonal at ``x_new`` for an exact GP with
+    row-sharded O(N^3/D) math."""
+    K = sharded_gram(kernel, x, mesh, axis=axis, noise=noise)
+    L = dist_cholesky(K, mesh, axis=axis, block=block)
+    y2 = y if y.ndim == 2 else y[:, None]
+    half = dist_solve_lower(L, y2, mesh, axis=axis, block=block)
+    alpha = _solve_upper_from_lower(L, half, mesh, axis, block)
+    K_xs = jnp.asarray(dense(pairwise(kernel, x, x_new)))  # (N, M)
+    K_xs = jax.lax.with_sharding_constraint(
+        K_xs, NamedSharding(mesh, P(axis, None))
+    )
+    mean = jnp.matmul(K_xs.T, alpha)
+    V = dist_solve_lower(L, K_xs, mesh, axis=axis, block=block)  # L^{-1} K_xs
+    from ..kernels import elwise
+
+    prior_diag = jnp.asarray(elwise(kernel, x_new))[:, 0]
+    var = prior_diag - jnp.sum(V * V, axis=0)
+    return mean[:, 0], jnp.maximum(var, 0.0)
