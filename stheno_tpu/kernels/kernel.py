@@ -95,6 +95,16 @@ def _safe_sqrt(d2):
     return jnp.sqrt(d2 + 1e-36)
 
 
+def _fused_gram(kind, x, y, alpha=1.0):
+    """Fused Pallas distance+kernel Gram on TPU (``None`` off the fast
+    path: batched inputs, unsupported dtype, or non-TPU backend)."""
+    from ..ops.gram import gram, gram_available
+
+    if x.ndim == 2 and y.ndim == 2 and gram_available(x):
+        return gram(kind, x, y, alpha)
+    return None
+
+
 def _is_function(obj):
     return callable(obj) and not isinstance(obj, Kernel)
 
@@ -314,6 +324,9 @@ class EQ(Kernel):
     """Exponentiated-quadratic kernel ``exp(-||x - y||^2 / 2)``."""
 
     def _pairwise(self, x, y):
+        fused = _fused_gram("eq", x, y)
+        if fused is not None:
+            return Dense(fused)
         return Dense(jnp.exp(-0.5 * pw_dists2(x, y)))
 
     def _elwise(self, x, y):
@@ -343,6 +356,9 @@ class RQ(Kernel):
         self.alpha = alpha
 
     def _pairwise(self, x, y):
+        fused = _fused_gram("rq", x, y, self.alpha)
+        if fused is not None:
+            return Dense(fused)
         return Dense((1 + pw_dists2(x, y) / (2 * self.alpha)) ** (-self.alpha))
 
     def _elwise(self, x, y):
@@ -369,6 +385,9 @@ class Matern12(Kernel):
     """Matern-1/2 (exponential) kernel ``exp(-||x - y||)``."""
 
     def _pairwise(self, x, y):
+        fused = _fused_gram("matern12", x, y)
+        if fused is not None:
+            return Dense(fused)
         return Dense(jnp.exp(-_safe_sqrt(pw_dists2(x, y))))
 
     def _elwise(self, x, y):
@@ -397,11 +416,17 @@ Exp = Matern12
 class Matern32(Kernel):
     """Matern-3/2 kernel."""
 
+    def _pairwise_fused(self, x, y):
+        return _fused_gram("matern32", x, y)
+
     def _apply(self, d):
         r = math.sqrt(3) * d
         return (1 + r) * jnp.exp(-r)
 
     def _pairwise(self, x, y):
+        fused = self._pairwise_fused(x, y)
+        if fused is not None:
+            return Dense(fused)
         return Dense(self._apply(_safe_sqrt(pw_dists2(x, y))))
 
     def _elwise(self, x, y):
@@ -427,11 +452,17 @@ class Matern32(Kernel):
 class Matern52(Kernel):
     """Matern-5/2 kernel."""
 
+    def _pairwise_fused(self, x, y):
+        return _fused_gram("matern52", x, y)
+
     def _apply(self, d):
         r = math.sqrt(5) * d
         return (1 + r + r * r / 3) * jnp.exp(-r)
 
     def _pairwise(self, x, y):
+        fused = self._pairwise_fused(x, y)
+        if fused is not None:
+            return Dense(fused)
         return Dense(self._apply(_safe_sqrt(pw_dists2(x, y))))
 
     def _elwise(self, x, y):
