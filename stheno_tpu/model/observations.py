@@ -79,9 +79,19 @@ class AbstractObservations:
     NaN rows through a masked take (reference ``observations.py:64-79``)."""
 
     def __init__(self, *args):
+        # Accept a single tuple *of* pairs as sugar for the pairs themselves.
+        if (
+            len(args) == 1
+            and isinstance(args[0], tuple)
+            and all(
+                isinstance(p, tuple) and len(p) == 2 and isinstance(p[0], FDD)
+                for p in args[0]
+            )
+        ):
+            args = args[0]
         if len(args) == 2 and isinstance(args[0], FDD):
             fdd, y = args
-        elif all(isinstance(a, tuple) for a in args):
+        elif args and all(isinstance(a, tuple) for a in args):
             fdd, y = combine(*args)
         else:
             raise ValueError("Give a (fdd, y) pair or tuples of pairs.")

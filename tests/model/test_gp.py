@@ -1,0 +1,71 @@
+"""GP-object tests and the latency gate, mirroring
+``/root/reference/tests/model/test_gp.py`` (notably the hard <1s assertion on
+posterior ``marginal_credible_bounds`` at 10,000 points, ``test_gp.py:201-211``
+— the contract that marginals never form the N x N covariance)."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stheno_tpu import EQ, GP, Linear, Measure
+
+
+def test_gp_properties():
+    f = GP(EQ())
+    assert f.stationary
+    g = GP(Linear())
+    assert not g.stationary
+    assert "EQ" in str(f)
+    assert str(GP()) == "GP()"
+    with pytest.raises(RuntimeError):
+        GP().measure
+
+
+def test_gp_arithmetic_sugar():
+    f = GP(EQ())
+    # Radd/rsub/neg/div from the Random base.
+    g = 1 + f
+    h = f - 1
+    k = -f
+    l = f / 2
+    x = jnp.linspace(0, 3, 5)
+    np.testing.assert_allclose(np.asarray(g(x).mean)[:, 0], 1.0)
+    np.testing.assert_allclose(np.asarray(h(x).mean)[:, 0], -1.0)
+    np.testing.assert_allclose(
+        np.asarray(k(x).mean)[:, 0], 0.0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.diagonal(jnp.asarray(l(x).var.dense()))), 0.25, rtol=1e-8
+    )
+
+
+def test_marginal_credible_bounds_10k_under_1s():
+    # The reference's only latency gate: posterior marginals at 10k points
+    # must complete in under a second (on CPU!), which is only possible if
+    # the N x N posterior covariance is never formed.
+    f = GP(EQ())
+    x_obs = jnp.linspace(0, 10, 500)
+    key, y = f.measure.sample(jax.random.PRNGKey(0), f(x_obs, 0.1))
+    post = f | (f(x_obs, 0.1), y[:, 0])
+    x_new = jnp.linspace(0, 10, 10_000)
+
+    # First call pays per-shape XLA compilation (which NumPy — the
+    # reference's backend — doesn't have); warm it, then time a *fresh*
+    # posterior with cold numeric caches but a warm compile cache. The gate
+    # then measures the algorithmic path: it fails if the 10k x 10k
+    # covariance is ever formed.
+    post(x_new).marginal_credible_bounds()
+    post2 = f | (f(x_obs, 0.1), y[:, 0])
+    t0 = time.time()
+    mean, lower, upper = post2(x_new).marginal_credible_bounds()
+    jax.block_until_ready((mean, lower, upper))
+    elapsed = time.time() - t0
+    # Forming the 10k x 10k covariance would take tens of seconds and
+    # ~800 MB; the small margin over the reference's 1s absorbs shared-CI
+    # load jitter.
+    assert elapsed < 1.5, f"credible bounds at 10k points took {elapsed:.2f}s"
+    assert mean.shape == (10_000,)
+    assert bool(jnp.all(upper >= lower))
