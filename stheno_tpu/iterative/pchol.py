@@ -1,0 +1,87 @@
+"""Partial pivoted-Cholesky preconditioner for kernel systems.
+
+A rank-``k`` pivoted Cholesky of the kernel matrix (greedy trace-error
+pivoting) gives ``K ~ L L^T``; the preconditioner ``P = noise I + L L^T`` is
+applied through the Woodbury identity, cutting CG iteration counts for
+smooth kernels dramatically (the GPyTorch recipe)."""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..kernels import elwise, pairwise
+from ..matrix import dense
+
+__all__ = ["pivoted_cholesky", "woodbury_preconditioner"]
+
+
+def pivoted_cholesky(k, x, rank):
+    """Rank-``rank`` pivoted Cholesky of ``k(x, x)`` — returns ``L (n, rank)``.
+
+    Matrix-free: each step evaluates one kernel row."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    d = elwise(k, x)[:, 0]  # Residual diagonal.
+    L = jnp.zeros((n, rank), x.dtype)
+
+    def body(i, carry):
+        d, L = carry
+        piv = jnp.argmax(d).astype(jnp.int32)
+        x_piv = lax.dynamic_slice(x, (piv, jnp.int32(0)), (1, x.shape[1]))
+        row = jnp.asarray(dense(pairwise(k, x, x_piv)))[:, 0]
+        row = row - L @ L[piv]
+        pivot_val = jnp.sqrt(jnp.maximum(d[piv], 1e-30))
+        l_i = row / pivot_val
+        # Numerical guard: the pivot entry must be exactly pivot_val.
+        L = L.at[:, i].set(l_i)
+        d = jnp.maximum(d - l_i**2, 0.0)
+        d = d.at[piv].set(0.0)
+        return d, L
+
+    _, L = lax.fori_loop(0, rank, body, (d, L))
+    return L
+
+
+def preconditioner_sqrt_ops(L, noise):
+    """For ``P = noise I + L L^T``: returns ``(apply_P_half_inv, logdet_P)``.
+
+    Used for variance-reduced SLQ: ``logdet K = logdet P +
+    tr log(P^{-1/2} K P^{-1/2})``, and the whitened matrix is near-identity,
+    collapsing the Hutchinson variance."""
+    noise = jnp.asarray(noise)
+    n, k = L.shape
+    U, S, _ = jnp.linalg.svd(L, full_matrices=False)
+    lam = noise + S**2
+
+    inv_sqrt_noise = 1.0 / jnp.sqrt(noise)
+    coeff = 1.0 / jnp.sqrt(lam) - inv_sqrt_noise
+
+    def apply_half_inv(v):
+        squeeze = v.ndim == 1
+        v2 = v[:, None] if squeeze else v
+        Uv = U.T @ v2
+        out = v2 * inv_sqrt_noise + U @ (coeff[:, None] * Uv)
+        return out[:, 0] if squeeze else out
+
+    logdet_p = jnp.sum(jnp.log(lam)) + (n - k) * jnp.log(noise)
+    return apply_half_inv, logdet_p
+
+
+def woodbury_preconditioner(L, noise):
+    """``P^{-1}`` for ``P = noise I + L L^T`` via the Woodbury identity."""
+    noise = jnp.asarray(noise)
+    rank = L.shape[1]
+    core = jnp.eye(rank, dtype=L.dtype) + (L.T @ L) / noise
+    core_chol = jnp.linalg.cholesky(core)
+
+    def apply(r):
+        squeeze = r.ndim == 1
+        r2 = r[:, None] if squeeze else r
+        rhs = L.T @ r2 / noise
+        sol = jax.scipy.linalg.cho_solve((core_chol, True), rhs)
+        out = r2 / noise - (L @ sol) / noise
+        return out[:, 0] if squeeze else out
+
+    return apply

@@ -1,0 +1,149 @@
+"""Iterative (matrix-free) exact-GP tests: CG/Lanczos/pivoted-Cholesky
+building blocks and the NLML value/gradient against the dense path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stheno_tpu import EQ, GP
+from stheno_tpu.iterative import (
+    batched_cg,
+    iterative_nlml,
+    iterative_posterior_mean,
+    kernel_matvec,
+    lanczos,
+    pivoted_cholesky,
+    slq_logdet,
+    woodbury_preconditioner,
+)
+from stheno_tpu.kernels import pairwise
+from stheno_tpu.matrix import dense
+
+
+def _setup(n=200, seed=0):
+    r = np.random.RandomState(seed)
+    x = jnp.asarray(np.sort(r.rand(n) * 10))
+    y = jnp.asarray(np.sin(np.asarray(x)) + 0.1 * r.randn(n))
+    return x, y
+
+
+def test_kernel_matvec():
+    x, _ = _setup()
+    k = EQ()
+    v = jnp.asarray(np.random.RandomState(1).randn(200, 3))
+    out = kernel_matvec(k, x, v, noise=0.1, block=64)
+    K = np.asarray(dense(pairwise(k, x[:, None]))) + 0.1 * np.eye(200)
+    np.testing.assert_allclose(np.asarray(out), K @ np.asarray(v), rtol=1e-8)
+    # Rank-1 v round-trips shape.
+    out1 = kernel_matvec(k, x, v[:, 0], noise=0.1, block=64)
+    assert out1.shape == (200,)
+
+
+def test_batched_cg():
+    x, _ = _setup(100)
+    k = EQ()
+    mv = lambda v: kernel_matvec(k, x, v, noise=0.5, block=64)
+    b = jnp.asarray(np.random.RandomState(2).randn(100, 2))
+    sol, info = batched_cg(mv, b, tol=1e-10, max_iters=500)
+    K = np.asarray(dense(pairwise(k, x[:, None]))) + 0.5 * np.eye(100)
+    np.testing.assert_allclose(
+        np.asarray(sol), np.linalg.solve(K, np.asarray(b)), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_pivoted_cholesky_preconditioner():
+    x, _ = _setup(100)
+    k = EQ()
+    L = pivoted_cholesky(k, x, 30)
+    K = np.asarray(dense(pairwise(k, x[:, None])))
+    # Rank-30 pivoted Cholesky captures a smooth 100-point EQ kernel well.
+    err = np.linalg.norm(K - np.asarray(L) @ np.asarray(L).T) / np.linalg.norm(K)
+    assert err < 1e-3, err
+    # Preconditioned CG converges much faster.
+    mv = lambda v: kernel_matvec(k, x, v, noise=0.01, block=64)
+    b = jnp.asarray(np.random.RandomState(3).randn(100, 1))
+    _, info_plain = batched_cg(mv, b, tol=1e-8, max_iters=400)
+    pre = woodbury_preconditioner(L, 0.01)
+    _, info_pre = batched_cg(mv, b, precond=pre, tol=1e-8, max_iters=400)
+    assert int(info_pre["iters"]) < int(info_plain["iters"])
+    assert int(info_pre["iters"]) < 25
+
+
+def test_slq_logdet():
+    x, _ = _setup(150)
+    k = EQ()
+    mv = lambda v: kernel_matvec(k, x, v, noise=0.3, block=64)
+    z = jax.random.normal(jax.random.PRNGKey(0), (150, 32), jnp.float64)
+    est = slq_logdet(mv, z, num_steps=30)
+    K = np.asarray(dense(pairwise(k, x[:, None]))) + 0.3 * np.eye(150)
+    ref = np.linalg.slogdet(K)[1]
+    np.testing.assert_allclose(float(est), ref, rtol=0.05)
+
+
+def test_iterative_nlml_value_and_grad():
+    x, y = _setup(120)
+
+    def kernel_fn(params):
+        return jnp.exp(params["log_s2"]) * EQ().stretch(jnp.exp(params["log_ell"]))
+
+    params = {"log_ell": jnp.asarray(0.2), "log_noise_unused": jnp.asarray(0.0), "log_s2": jnp.asarray(0.1)}
+    noise = jnp.asarray(0.1)
+
+    def nlml_it(params, noise):
+        return iterative_nlml(
+            kernel_fn, params, x, y, noise, jax.random.PRNGKey(0),
+            num_probes=32, cg_tol=1e-8, slq_steps=30, precond_rank=40, block=64,
+        )
+
+    def nlml_dense(params, noise):
+        f = GP(kernel_fn(params))
+        return -f.measure.logpdf(f(x, noise), y)
+
+    v_it = float(nlml_it(params, noise))
+    v_d = float(nlml_dense(params, noise))
+    # The SLQ logdet is stochastic; with preconditioner-whitened probes the
+    # standard error is a fraction of a nat (vs ~6 unwhitened). Compare
+    # absolutely, not relatively to the near-zero NLML.
+    assert abs(v_it - v_d) < 1.0, (v_it, v_d)
+
+    g_it = jax.grad(nlml_it, argnums=(0, 1))(params, noise)
+    g_d = jax.grad(nlml_dense, argnums=(0, 1))(params, noise)
+    # Stochastic trace estimate: compare with generous tolerance.
+    for name in ["log_ell", "log_s2"]:
+        np.testing.assert_allclose(
+            float(g_it[0][name]), float(g_d[0][name]), rtol=0.25, atol=0.5
+        )
+    np.testing.assert_allclose(float(g_it[1]), float(g_d[1]), rtol=0.25, atol=0.5)
+
+
+def test_iterative_posterior_mean():
+    x, y = _setup(150)
+    kernel_fn = lambda p: EQ()
+    x_new = jnp.linspace(0, 10, 50)
+    mean_it, info = iterative_posterior_mean(
+        kernel_fn, None, x, y, 0.1, x_new, cg_tol=1e-10, block=64,
+        precond_rank=40,
+    )
+    f = GP(EQ())
+    post = f | (f(x, 0.1), y)
+    mean_ref, _ = post(x_new).marginals()
+    np.testing.assert_allclose(
+        np.asarray(mean_it), np.asarray(mean_ref), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_iterative_nlml_jits():
+    x, y = _setup(80)
+    kernel_fn = lambda p: jnp.exp(p["log_s2"]) * EQ()
+
+    @jax.jit
+    def step(params):
+        return iterative_nlml(
+            kernel_fn, params, x, y, 0.1, jax.random.PRNGKey(1),
+            num_probes=8, cg_tol=1e-6, slq_steps=15, precond_rank=20, block=64,
+        )
+
+    val, grad = jax.value_and_grad(step)({"log_s2": jnp.asarray(0.0)})
+    assert np.isfinite(float(val))
+    assert np.isfinite(float(grad["log_s2"]))
