@@ -1,5 +1,6 @@
 from .hmc import sample_hmc
 from .minimise import minimise_adam, minimise_l_bfgs_b, minimise_lbfgs
+from .nuts import sample_nuts
 from .vars import Vars
 
 __all__ = [
@@ -8,4 +9,5 @@ __all__ = [
     "minimise_lbfgs",
     "minimise_l_bfgs_b",
     "sample_hmc",
+    "sample_nuts",
 ]
