@@ -18,3 +18,13 @@ from .model import *  # noqa: F401,F403
 
 class BreakingChangeWarning(UserWarning):
     """A breaking change."""
+
+
+__version__ = "0.1.0"
+
+import sys as _sys
+
+__all__ = [
+    n for n in dir(_sys.modules[__name__])
+    if not n.startswith("_") and n not in ("config",)
+] + ["config"]

@@ -359,6 +359,15 @@ class Normal(RandomVector):
             matmul3(a, self.var, a, tr_a=True),
         )
 
+    def cast(self, dtype):
+        """Cast mean and variance to ``dtype`` (the reference's
+        ``B.cast(dtype, dist)`` hook, ``random.py:401-403``)."""
+        import jax
+
+        mean = jnp.asarray(dense(self.mean)).astype(dtype)
+        var = jax.tree.map(lambda l: l.astype(dtype), self.var)
+        return Normal(mean, var)
+
     # -- display ----------------------------------------------------------
 
     def __str__(self):

@@ -50,6 +50,11 @@ def iterative_nlml(
     """Stochastic estimate of the exact-GP NLML, differentiable w.r.t.
     ``params``, ``noise``, ``y`` (and ``x``).
 
+    Note: Gram tiles stay in the input dtype. bf16 tiles
+    (``kernel_matvec(tile_dtype=...)``) are measurably unsafe *inside this
+    CG/SLQ pipeline* — rounding breaks operator symmetry enough to destroy
+    CG convergence — so they are deliberately not plumbed through here.
+
     Args:
         kernel_fn: ``params -> Kernel`` expression builder.
         params: parameter pytree.

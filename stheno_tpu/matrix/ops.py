@@ -498,16 +498,28 @@ def solve(a, b):
     if isinstance(a, Woodbury):
         return _solve_woodbury(a, dense(b) if is_structured(b) else jnp.asarray(b))
     if isinstance(a, Kronecker):
-        # vec trick: (A (x) B)^{-1} vec(X) with X reshaped — fall back to dense
-        # for now; Kronecker solves are not on the reference's hot path.
-        pass
+        # vec trick: (A (x) B)^{-1} vec(X) = vec(B^{-1} X A^{-T}) with
+        # vec(X) = b reshaped row-major to (rows(A), rows(B)).
+        b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
+        m_a, m_b = a.left.rows, a.right.rows
+        cols = b_arr.shape[-1]
+        X = jnp.swapaxes(
+            b_arr.reshape(b_arr.shape[:-2] + (m_a, m_b, cols)), -3, -2
+        )  # (..., m_b, m_a, cols)
+        X = solve(a.right, X.reshape(b_arr.shape[:-2] + (m_b, m_a * cols)))
+        X = X.reshape(b_arr.shape[:-2] + (m_b, m_a, cols))
+        # Apply A^{-1} along the m_a axis.
+        X = jnp.swapaxes(X, -3, -2)  # (..., m_a, m_b, cols)
+        X = solve(a.left, X.reshape(b_arr.shape[:-2] + (m_a, m_b * cols)))
+        return X.reshape(b_arr.shape[:-2] + (m_a * m_b, cols))
     if not is_structured(a):
         a = as_matrix(a)
     L = cholesky(a)
-    if isinstance(L, Diagonal):
-        return solve(L, solve(L, b))  # pragma: no cover — Diagonal handled above.
-    y = _solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.mat, y, lower=True, trans="T")
+    if isinstance(L, LowerTriangular):
+        y = _solve_triangular(L, b, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.mat, y, lower=True, trans="T")
+    # Structured factor (e.g. Kronecker of triangulars): recurse.
+    return solve(transpose(L), solve(L, b))
 
 
 def _wb_core(a: Woodbury):
@@ -553,6 +565,10 @@ def iqf(a, b, c=None):
         )
     a = as_matrix(a)
     L = cholesky(a)
+    if not isinstance(L, LowerTriangular):
+        lb = solve(L, dense(b) if is_structured(b) else jnp.asarray(b))
+        lc = lb if c is b else solve(L, dense(c) if is_structured(c) else jnp.asarray(c))
+        return Dense(jnp.matmul(jnp.swapaxes(lb, -1, -2), lc))
     lb = _solve_triangular(L, b, lower=True)
     lc = lb if c is b else _solve_triangular(L, c, lower=True)
     return Dense(jnp.matmul(jnp.swapaxes(lb, -1, -2), lc))
@@ -567,6 +583,10 @@ def iqf_diag(a, b, c=None):
         return jnp.sum(b_arr * solve(a, c), axis=-2)
     a = as_matrix(a)
     L = cholesky(a)
+    if not isinstance(L, LowerTriangular):
+        lb = solve(L, b_arr)
+        lc = lb if c is b else solve(L, dense(c) if is_structured(c) else jnp.asarray(c))
+        return jnp.sum(lb * lc, axis=-2)
     lb = _solve_triangular(L, b, lower=True)
     lc = lb if c is b else _solve_triangular(L, c, lower=True)
     return jnp.sum(lb * lc, axis=-2)
@@ -596,9 +616,7 @@ def logdet(a):
         return m * logdet(a.left) + n * logdet(a.right)
     a = as_matrix(a)
     L = cholesky(a)
-    return 2 * jnp.sum(
-        jnp.log(jnp.diagonal(L.mat, axis1=-2, axis2=-1)), axis=-1
-    )
+    return 2 * jnp.sum(jnp.log(diag_of(L)), axis=-1)
 
 
 def ratio(a, b):

@@ -1,5 +1,6 @@
 from .cholesky import dist_cholesky, dist_solve_lower, make_data_mesh
 from .exact import dist_nlml, dist_posterior_predict, sharded_gram
+from .iterative import sharded_iterative_nlml, sharded_kernel_matvec
 
 __all__ = [
     "dist_cholesky",
@@ -8,4 +9,6 @@ __all__ = [
     "dist_nlml",
     "dist_posterior_predict",
     "sharded_gram",
+    "sharded_iterative_nlml",
+    "sharded_kernel_matvec",
 ]

@@ -253,3 +253,22 @@ def test_jit_grad_through_structures():
         np.testing.assert_allclose(g[i], fd, rtol=1e-4)
     jf = jax.jit(f)
     np.testing.assert_allclose(jf(d_vals), f(d_vals), rtol=1e-10)
+
+
+def test_kronecker_solve_logdet_iqf():
+    r = _rng(50)
+    A = r.randn(3, 3); A = A @ A.T + 3 * np.eye(3)
+    Bm = r.randn(4, 4); Bm = Bm @ Bm.T + 4 * np.eye(4)
+    K = M.Kronecker(M.Dense(jnp.asarray(A)), M.Dense(jnp.asarray(Bm)))
+    dense_K = np.kron(A, Bm)
+    b = r.randn(12, 2)
+    approx(M.solve(K, jnp.asarray(b)), np.linalg.solve(dense_K, b), rtol=1e-7)
+    approx(M.logdet(K), np.linalg.slogdet(dense_K)[1], rtol=1e-8)
+    approx(
+        M.iqf_diag(K, jnp.asarray(b)),
+        np.diag(b.T @ np.linalg.solve(dense_K, b)),
+        rtol=1e-7,
+    )
+    approx(M.dense(M.iqf(K, jnp.asarray(b))), b.T @ np.linalg.solve(dense_K, b), rtol=1e-7)
+    L = M.cholesky(K)
+    approx(M.dense(L) @ np.asarray(M.dense(L)).T, dense_K, rtol=1e-7)

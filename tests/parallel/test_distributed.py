@@ -112,3 +112,35 @@ def test_dist_training_step_jit(mesh):
     val, grads = jax.value_and_grad(step)(params)
     assert np.isfinite(float(val))
     assert all(np.isfinite(float(g)) for g in jax.tree.leaves(grads))
+
+
+def test_sharded_kernel_matvec(mesh):
+    from stheno_tpu.iterative import kernel_matvec
+    from stheno_tpu.parallel import sharded_kernel_matvec
+
+    r = np.random.RandomState(7)
+    x = jnp.asarray(np.sort(r.rand(100)))  # Not divisible by 8: tests padding.
+    v = jnp.asarray(r.randn(100, 3))
+    out_d = sharded_kernel_matvec(EQ(), x, v, mesh, noise=0.1, block=16)
+    out_ref = kernel_matvec(EQ(), x, v, noise=0.1, block=16)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_ref), rtol=1e-8)
+
+
+def test_sharded_iterative_nlml(mesh):
+    from stheno_tpu import GP
+    from stheno_tpu.parallel import sharded_iterative_nlml
+
+    r = np.random.RandomState(8)
+    x = jnp.asarray(np.sort(r.rand(96) * 10))
+    y = jnp.asarray(np.sin(np.asarray(x)))
+    kernel_fn = lambda p: EQ()
+    fn = jax.jit(
+        lambda: sharded_iterative_nlml(
+            kernel_fn, None, x, y, 0.1, jax.random.PRNGKey(0), mesh,
+            num_probes=16, cg_tol=1e-8, slq_steps=20, precond_rank=30, block=12,
+        )
+    )
+    val = float(fn())
+    f = GP(EQ())
+    ref = float(-f.measure.logpdf(f(x, 0.1), y))
+    assert abs(val - ref) < 1.5, (val, ref)
