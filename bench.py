@@ -1,14 +1,22 @@
-"""Benchmark: exact GP NLML at N=2,000 (the reference's headline number:
+"""Benchmark: exact GP logpdf at N=2,000 (the reference's headline number:
 219 ms +/- 35.7 ms per call on CPU, README_without_examples.md:689-690).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever backend JAX selects (TPU under the driver)."""
+Runs on whatever backend JAX selects (TPU under the driver).
+
+Timing: the TPU here sits behind a network tunnel where per-call host
+round-trips cost ~0.4 s and ``block_until_ready`` is unreliable, so the
+measurement chains ``iters`` calls inside a jitted ``lax.fori_loop`` (each
+iteration's input depends on the previous result, defeating loop-invariant
+hoisting) and fetches one scalar at the end; reported value is the min over
+repeats."""
 
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 BASELINE_MS = 219.0  # Reference's published per-call latency (CPU %timeit).
 
@@ -23,22 +31,34 @@ def main():
     x = jnp.linspace(0.0, 10.0, n, dtype=dtype)
     y = jnp.sin(x) + 0.3 * jnp.cos(3.2 * x)
 
-    @jax.jit
     def nlml(y):
         # Periodic-EQ prior with noise, matching the reference's benchmark
         # model (`README_without_examples.md:666-690`).
-        f = GP(EQ().stretch(jnp.asarray(2.0, dtype)).periodic(jnp.asarray(1.0, dtype)))
+        f = GP(
+            EQ()
+            .stretch(jnp.asarray(2.0, dtype))
+            .periodic(jnp.asarray(1.0, dtype))
+        )
         return -f.measure.logpdf(f(x, jnp.asarray(0.1, dtype)), y)
 
-    # Warmup/compile.
-    nlml(y).block_until_ready()
-
     iters = 50
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = nlml(y)
-    out.block_until_ready()
-    per_call_ms = (time.perf_counter() - t0) / iters * 1e3
+
+    @jax.jit
+    def many(y):
+        def body(i, acc):
+            # acc-dependent perturbation keeps every iteration live.
+            out = nlml(y + acc * 1e-30)
+            return acc + out * 1e-30
+
+        return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
+
+    float(many(y))  # Compile + warm up.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(many(y))
+        times.append(time.perf_counter() - t0)
+    per_call_ms = min(times) / iters * 1e3
 
     print(
         json.dumps(
