@@ -69,29 +69,39 @@ def iterative_nlml(
     k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
     z_cg = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
     z_slq = jax.random.normal(k2, (n, num_probes), dtype=y.dtype)
+    matvec_fn = lambda k, xx, v, nz: kernel_matvec(k, xx, v, noise=nz, block=block)
     return _nlml(
-        params, y, jnp.asarray(noise), x, z_cg, z_slq, kernel_fn,
-        cg_tol, max_cg_iters, slq_steps, precond_rank, block,
+        params, y, jnp.asarray(noise), x, z_cg, z_slq, kernel_fn, matvec_fn,
+        None, cg_tol, max_cg_iters, slq_steps, precond_rank,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
-def _nlml(params, y, noise, x, z_cg, z_slq, kernel_fn, cg_tol,
-          max_cg_iters, slq_steps, precond_rank, block):
-    val, _ = _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, cg_tol,
-                       max_cg_iters, slq_steps, precond_rank, block)
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _nlml(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
+          surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps, precond_rank):
+    """Shared stochastic-NLML core.
+
+    ``matvec_fn(k, x, v, noise)`` supplies the Gram matvec for the forward
+    solves (single-chip blocked or mesh-sharded; it is never differentiated).
+    ``surrogate_grad_fn(params, noise, x, U, z, alpha) -> (p_bar, noise_bar,
+    x_bar)`` supplies the backward-pass surrogate gradient; ``None`` selects
+    the single-chip default (``jax.grad`` through ``matvec_fn``)."""
+    val, _ = _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
+                       surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
+                       precond_rank)
     return val
 
 
-def _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, cg_tol,
-              max_cg_iters, slq_steps, precond_rank, block):
+def _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
+              surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
+              precond_rank):
     n = x.shape[0]
     k = kernel_fn(jax.tree.map(jax.lax.stop_gradient, params))
     noise_sg = jax.lax.stop_gradient(noise)
     y_sg = jax.lax.stop_gradient(y)
     x_sg = jax.lax.stop_gradient(x)
 
-    mv = lambda v: kernel_matvec(k, x_sg, v, noise=noise_sg, block=block)
+    mv = lambda v: matvec_fn(k, x_sg, v, noise_sg)
 
     precond = None
     half_inv, logdet_p = None, 0.0
@@ -119,27 +129,39 @@ def _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, cg_tol,
     return nlml, residuals
 
 
-def _nlml_bwd(kernel_fn, cg_tol, max_cg_iters, slq_steps, precond_rank,
-              block, residuals, g):
+def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
+              slq_steps, precond_rank, residuals, g):
     params, noise, x, alpha, U, z = residuals
     alpha = jax.lax.stop_gradient(alpha)
     U = jax.lax.stop_gradient(U)
     z = jax.lax.stop_gradient(z)
 
-    def surrogate(params, noise, x):
-        k = kernel_fn(params)
-        Kz = kernel_matvec(k, x, z, noise=noise, block=block)
-        Ka = kernel_matvec(k, x, alpha[:, None], noise=noise, block=block)[:, 0]
-        trace_est = jnp.mean(jnp.sum(U * Kz, axis=0))
-        quad_term = jnp.sum(alpha * Ka)
-        return 0.5 * (trace_est - quad_term)
+    if surrogate_grad_fn is None:
+        surrogate_grad_fn = make_surrogate_grad(kernel_fn, matvec_fn)
 
-    p_bar, noise_bar, x_bar = jax.grad(surrogate, argnums=(0, 1, 2))(
-        params, noise, x
-    )
+    p_bar, noise_bar, x_bar = surrogate_grad_fn(params, noise, x, U, z, alpha)
     p_bar = jax.tree.map(lambda t: t * g, p_bar)
     y_bar = g * alpha
     return p_bar, y_bar, noise_bar * g, x_bar * g, jnp.zeros_like(z), jnp.zeros_like(z)
+
+
+def make_surrogate_grad(kernel_fn, matvec_fn):
+    """Single-chip surrogate gradient: differentiate the Hutchinson surrogate
+    ``0.5 (mean_i u_i^T K z_i - alpha^T K alpha)`` straight through the
+    blocked matvec."""
+
+    def surrogate_grad(params, noise, x, U, z, alpha):
+        def surrogate(params, noise, x):
+            k = kernel_fn(params)
+            Kz = matvec_fn(k, x, z, noise)
+            Ka = matvec_fn(k, x, alpha[:, None], noise)[:, 0]
+            trace_est = jnp.mean(jnp.sum(U * Kz, axis=0))
+            quad_term = jnp.sum(alpha * Ka)
+            return 0.5 * (trace_est - quad_term)
+
+        return jax.grad(surrogate, argnums=(0, 1, 2))(params, noise, x)
+
+    return surrogate_grad
 
 
 _nlml.defvjp(_nlml_fwd, _nlml_bwd)

@@ -25,19 +25,27 @@ def pivoted_cholesky(k, x, rank):
     n = x.shape[0]
     d = elwise(k, x)[:, 0]  # Residual diagonal.
     L = jnp.zeros((n, rank), x.dtype)
+    # Early-stopping tolerance: once the largest residual-diagonal entry
+    # falls to the round-off floor of the initial trace, the matrix is
+    # numerically exhausted — dividing the (noise-level) residual row by
+    # sqrt(pivot) would amplify round-off into enormous spurious columns
+    # (smooth kernels like EQ reach this floor well before rank 50 in f64).
+    # Dead steps write zero columns, which downstream Woodbury/sqrt ops
+    # treat as an identity block.
+    tol = jnp.finfo(x.dtype).eps * jnp.maximum(jnp.sum(d), 1e-30)
 
     def body(i, carry):
         d, L = carry
         piv = jnp.argmax(d).astype(jnp.int32)
+        live = d[piv] > tol
         x_piv = lax.dynamic_slice(x, (piv, jnp.int32(0)), (1, x.shape[1]))
         row = jnp.asarray(dense(pairwise(k, x, x_piv)))[:, 0]
         row = row - L @ L[piv]
         pivot_val = jnp.sqrt(jnp.maximum(d[piv], 1e-30))
-        l_i = row / pivot_val
-        # Numerical guard: the pivot entry must be exactly pivot_val.
+        l_i = jnp.where(live, row / pivot_val, 0.0)
         L = L.at[:, i].set(l_i)
         d = jnp.maximum(d - l_i**2, 0.0)
-        d = d.at[piv].set(0.0)
+        d = d.at[piv].set(jnp.where(live, 0.0, d[piv]))
         return d, L
 
     _, L = lax.fori_loop(0, rank, body, (d, L))

@@ -32,7 +32,20 @@ def lanczos(matvec, z, num_steps):
         w = w - jnp.sum(q_cur * w, axis=0)[None, :] * q_cur
         w = w - jnp.sum(q_prev * w, axis=0)[None, :] * q_prev
         beta = jnp.linalg.norm(w, axis=0)
-        q_next = w / jnp.maximum(beta, 1e-30)[None, :]
+        # Breakdown: the Krylov space is exhausted (e.g. the preconditioner
+        # whitens the operator to ~identity, so the residual after one step
+        # is numerical noise). Zero out the recurrence instead of dividing
+        # noise by ~0: the tridiagonal then decouples into [T_valid, 0], and
+        # the zero block's eigenvectors have zero first component, so it
+        # contributes nothing to the e1-quadrature.
+        tol = jnp.sqrt(jnp.finfo(z.dtype).eps) * jnp.maximum(
+            jnp.abs(alpha), 1.0
+        )
+        live = beta > tol
+        beta = jnp.where(live, beta, 0.0)
+        q_next = jnp.where(
+            live[None, :], w / jnp.maximum(beta, 1e-30)[None, :], 0.0
+        )
         return (q_cur, q_next, beta), (alpha, beta)
 
     (_, _, _), (alphas, betas) = lax.scan(

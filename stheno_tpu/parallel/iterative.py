@@ -6,19 +6,21 @@ chip computes the Gram-tile products for its rows only. Inputs ``x`` are
 small and replicated; right-hand sides are replicated (CG vectors); outputs
 are row-sharded and all-gathered. A D-chip mesh gives a ~D-fold speedup of
 every CG/Lanczos iteration with one ``all_gather`` of an (n, p) block per
-matvec."""
+matvec.
 
-from functools import partial
+Training gradients use the grad-inside-shard_map idiom: the Hutchinson
+surrogate's gradient is computed per row shard with ``jax.grad`` *inside*
+the shard_map body and ``psum``'d, rather than transposing the shard_map
+itself (which on current JAX builds cotangent zeros from Auto-mesh-sharded
+avals inside the Manual context and fails once inputs arrive committed to
+the mesh — training step 2+)."""
 
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import PartitionSpec as P
 
-from ..iterative.cg import batched_cg
 from ..iterative.matvec import kernel_matvec
-from ..iterative.pchol import pivoted_cholesky, woodbury_preconditioner
-from ..iterative.slq import slq_logdet
 
 __all__ = ["sharded_kernel_matvec", "sharded_iterative_nlml"]
 
@@ -28,7 +30,11 @@ def sharded_kernel_matvec(k, x, v, mesh, axis="data", noise=None, block=4096):
 
     ``x``: (n, d) or (n,), replicated; ``v``: (n, p) or (n,), replicated.
     ``n`` is zero-padded to a multiple of the axis size (padded rows produce
-    garbage that is sliced away). Returns a replicated (n, p)."""
+    garbage that is sliced away). Returns a replicated (n, p).
+
+    Forward-only with respect to shard_map transposition: the iterative-NLML
+    backward pass goes through :func:`make_sharded_surrogate_grad` instead of
+    differentiating through this function."""
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
@@ -41,25 +47,89 @@ def sharded_kernel_matvec(k, x, v, mesh, axis="data", noise=None, block=4096):
 
     local_block = min(block, n_pad // D)
 
-    def body(x_local):
+    def body(x_local, x_full, v_full):
         # Each shard computes its row panel of the matvec against the full
         # (replicated) x and v.
-        out_local = kernel_matvec(k, x_local, v2, block=local_block, x_cols=x)
-        return out_local
+        return kernel_matvec(k, x_local, v_full, block=local_block, x_cols=x_full)
 
     out = shard_map(
         body,
         mesh=mesh,
-        in_specs=P(axis, None),
+        in_specs=(P(axis, None), P(None, None), P(None, None)),
         out_specs=P(axis, None),
         check_vma=False,
-    )(x_pad)
+    )(x_pad, x, v2)
     out = out[:n]
     if noise is not None:
         noise_arr = jnp.asarray(noise)
         noise_col = noise_arr[:, None] if noise_arr.ndim == 1 else noise_arr
         out = out + noise_col * v2
     return out[:, 0] if v_in.ndim == 1 else out
+
+
+def make_sharded_surrogate_grad(kernel_fn, mesh, axis="data", block=4096):
+    """Distributed Hutchinson-surrogate gradient for the iterative NLML.
+
+    Computes the gradient of ``S = 0.5 (mean_i u_i^T (K + noise I) z_i -
+    alpha^T (K + noise I) alpha)`` w.r.t. ``(params, noise, x)`` by giving
+    each shard its row block of the sum, taking ``jax.grad`` of the *local*
+    scalar inside the shard_map body, and psum-ing the replicated-input
+    gradients. Padded rows carry zero ``u``/``alpha`` weights, so they
+    contribute neither value nor gradient."""
+
+    def surrogate_grad(params, noise, x, U, z, alpha):
+        x_in = jnp.asarray(x)
+        x2 = x_in[:, None] if x_in.ndim == 1 else x_in
+        n, d = x2.shape
+        D = mesh.shape[axis]
+        n_pad = -(-n // D) * D
+
+        def pad(a):
+            return jnp.zeros((n_pad,) + a.shape[1:], a.dtype).at[: a.shape[0]].set(a)
+
+        x_padded, U_pad, z_pad, a_pad = pad(x2), pad(U), pad(z), pad(alpha)
+        local_block = min(block, n_pad // D)
+        p = U.shape[1]
+
+        def body(x_loc, u_loc, z_loc, a_loc, x_full, z_full, a_full, params, noise):
+            def local_S(params, noise, x_loc, x_full):
+                k = kernel_fn(params)
+                Kz = kernel_matvec(
+                    k, x_loc, z_full, block=local_block, x_cols=x_full
+                )
+                Ka = kernel_matvec(
+                    k, x_loc, a_full[:, None], block=local_block, x_cols=x_full
+                )[:, 0]
+                trace_est = (
+                    jnp.sum(u_loc * Kz) + noise * jnp.sum(u_loc * z_loc)
+                ) / p
+                quad = jnp.sum(a_loc * Ka) + noise * jnp.sum(a_loc**2)
+                return 0.5 * (trace_est - quad)
+
+            g = jax.grad(local_S, argnums=(0, 1, 2, 3))(
+                params, noise, x_loc, x_full
+            )
+            p_bar = lax.psum(g[0], axis)
+            noise_bar = lax.psum(g[1], axis)
+            x_full_bar = lax.psum(g[3], axis)
+            return p_bar, noise_bar, g[2], x_full_bar
+
+        p_bar, noise_bar, x_loc_bar, x_full_bar = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(axis, None), P(axis, None), P(axis, None), P(axis),
+                P(None, None), P(None, None), P(None), P(), P(),
+            ),
+            out_specs=(P(), P(), P(axis, None), P(None, None)),
+            check_vma=False,
+        )(x_padded, U_pad, z_pad, a_pad, x2, z, alpha, params, noise)
+        x_bar = x_full_bar + x_loc_bar[:n]
+        if x_in.ndim == 1:
+            x_bar = x_bar[:, 0]
+        return p_bar, noise_bar, x_bar
+
+    return surrogate_grad
 
 
 def sharded_iterative_nlml(
@@ -81,36 +151,26 @@ def sharded_iterative_nlml(
 ):
     """Exact-GP NLML estimate with every matvec distributed over the mesh.
 
-    Forward-only (use :func:`stheno_tpu.iterative.iterative_nlml` on one
-    chip for gradients, or wrap this in a custom VJP the same way)."""
+    Differentiable w.r.t. ``params``, ``noise``, ``y``, and ``x``: this is
+    the multi-chip training objective. It reuses the single-chip stochastic
+    custom VJP (`iterative/nlml.py`) with the forward Gram matvec swapped
+    for the row-sharded one and the backward surrogate gradient computed
+    grad-inside-shard_map (see :func:`make_sharded_surrogate_grad`)."""
+    from ..iterative.nlml import _nlml
+
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n = x.shape[0]
-    k = kernel_fn(params)
-    import math
-
-    mv = lambda v: sharded_kernel_matvec(
-        k, x, v, mesh, axis=axis, noise=noise, block=block
-    )
-    precond = None
-    half_inv, logdet_p = None, 0.0
-    if precond_rank and precond_rank > 0:
-        from ..iterative.pchol import preconditioner_sqrt_ops
-
-        L = pivoted_cholesky(k, x, precond_rank)
-        precond = woodbury_preconditioner(L, noise)
-        half_inv, logdet_p = preconditioner_sqrt_ops(L, noise)
-
-    k1, k2 = jax.random.split(key)
-    z = jax.random.normal(k1, (n, num_probes), y.dtype)
-    rhs = jnp.concatenate([y[:, None], z], axis=1)
-    sol, info = batched_cg(mv, rhs, precond=precond, tol=cg_tol,
-                           max_iters=max_cg_iters)
-    alpha = sol[:, 0]
+    k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
+    z_cg = jax.random.normal(k1, (n, num_probes), y.dtype)
     z_slq = jax.random.normal(k2, (n, num_probes), y.dtype)
-    if half_inv is not None:
-        mv_white = lambda v: half_inv(mv(half_inv(v)))
-        logdet = logdet_p + slq_logdet(mv_white, z_slq, num_steps=slq_steps)
-    else:
-        logdet = slq_logdet(mv, z_slq, num_steps=slq_steps)
-    return 0.5 * (logdet + jnp.sum(y * alpha) + n * math.log(2 * math.pi))
+    matvec_fn = lambda k, xx, v, nz: sharded_kernel_matvec(
+        k, xx, v, mesh, axis=axis, noise=nz, block=block
+    )
+    surrogate_grad_fn = make_sharded_surrogate_grad(
+        kernel_fn, mesh, axis=axis, block=block
+    )
+    return _nlml(
+        params, y, jnp.asarray(noise), x, z_cg, z_slq, kernel_fn, matvec_fn,
+        surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps, precond_rank,
+    )

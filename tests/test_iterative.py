@@ -70,6 +70,42 @@ def test_pivoted_cholesky_preconditioner():
     assert int(info_pre["iters"]) < 25
 
 
+def test_pivoted_cholesky_rank_exhaustion():
+    """Requesting more columns than the kernel's numerical rank must stop
+    early with zero columns, not divide round-off noise by ~0 pivots
+    (regression: spurious e^60-scale columns made the Woodbury
+    preconditioner logdet jump by thousands of nats and NaN'd CG)."""
+    x, _ = _setup(120)
+    k = 2.0 * EQ().stretch(3.0)  # Very smooth: numerical rank << 60 in f64.
+    L = pivoted_cholesky(k, x, 60)
+    Ln = np.asarray(L)
+    assert np.all(np.isfinite(Ln))
+    # No blow-up: column norms stay on the scale of the kernel.
+    assert np.max(np.abs(Ln)) < 10.0
+    # Dead columns are exactly zero.
+    col_norms = np.linalg.norm(Ln, axis=0)
+    assert col_norms[-1] == 0.0
+    # And the approximation is still accurate.
+    K = np.asarray(dense(pairwise(k, x[:, None])))
+    err = np.linalg.norm(K - Ln @ Ln.T) / np.linalg.norm(K)
+    assert err < 1e-6, err
+    # The preconditioned pipeline stays finite end to end.
+    from stheno_tpu.iterative.pchol import preconditioner_sqrt_ops
+
+    half_inv, logdet_p = preconditioner_sqrt_ops(L, 0.05)
+    assert np.isfinite(float(logdet_p))
+    mv = lambda v: kernel_matvec(k, x, v, noise=0.05, block=64)
+    mv_white = lambda v: half_inv(mv(half_inv(v)))
+    z = jax.random.normal(jax.random.PRNGKey(1), (120, 8), jnp.float64)
+    # Whitened operator ~ identity: Lanczos must survive breakdown
+    # (regression: beta -> 0 divided noise by 1e-30 and NaN'd the
+    # quadrature).
+    est = slq_logdet(mv_white, z, num_steps=16)
+    K_noisy = K + 0.05 * np.eye(120)
+    ref = np.linalg.slogdet(K_noisy)[1]
+    np.testing.assert_allclose(float(est) + float(logdet_p), ref, atol=1.0)
+
+
 def test_slq_logdet():
     x, _ = _setup(150)
     k = EQ()
