@@ -434,3 +434,59 @@ def test_fdd_take():
     sub = take(fdd, mask)
     assert sub.noise.shape == (5, 5)
     approx(jnp.asarray(sub.x), jnp.asarray(x)[:5])
+
+
+# -- kernel-evaluation-count contract --------------------------------------
+
+
+def test_pseudo_posterior_kernel_evaluation_contract():
+    """Pins the evaluation contract of
+    ``/root/reference/tests/model/test_model.py:335-365``: computing
+    posterior marginals after pseudo-point conditioning may evaluate
+    pairwise Grams only at (x_obs, x_ind), (x_ind, x_ind), (x_ind, x_new)
+    and elwise columns at (x_obs,), (x_new,) — never an O(n_obs^2) or
+    O(n_new^2) Gram."""
+    from stheno_tpu.kernels.kernel import EQ, Kernel
+
+    calls = {"pairwise": [], "elwise": []}
+
+    class CountingEQ(Kernel):
+        def __init__(self):
+            self._inner = EQ()
+
+        def _pairwise(self, x, y):
+            calls["pairwise"].append((x.shape[-2], y.shape[-2]))
+            return self._inner._pairwise(x, y)
+
+        def _elwise(self, x, y):
+            calls["elwise"].append(x.shape[-2])
+            return self._inner._elwise(x, y)
+
+        def _scalar(self, x, y):
+            return self._inner._scalar(x, y)
+
+        @property
+        def stationary(self):
+            return True
+
+    n_obs, n_ind, n_new = 40, 7, 11  # Distinct sizes identify each eval.
+    r = np.random.RandomState(4)
+    x_obs = jnp.asarray(np.sort(r.rand(n_obs) * 10))
+    x_ind = jnp.asarray(np.linspace(0, 10, n_ind))
+    x_new = jnp.asarray(np.linspace(0, 10, n_new))
+    y = jnp.asarray(np.sin(np.asarray(x_obs)))
+
+    f = GP(CountingEQ())
+    post = f | PseudoObs(f(x_ind), (f(x_obs, 0.1), y))
+    mean, var = post(x_new).marginals()
+    assert np.all(np.isfinite(np.asarray(mean)))
+
+    allowed_pairwise = {
+        (n_obs, n_ind), (n_ind, n_obs), (n_ind, n_ind),
+        (n_ind, n_new), (n_new, n_ind),
+    }
+    assert set(calls["pairwise"]) <= allowed_pairwise, calls["pairwise"]
+    assert set(calls["elwise"]) <= {n_obs, n_new}, calls["elwise"]
+    # In particular: no dense Gram over the observations or test points.
+    assert (n_obs, n_obs) not in calls["pairwise"]
+    assert (n_new, n_new) not in calls["pairwise"]
