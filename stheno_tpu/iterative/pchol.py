@@ -26,13 +26,15 @@ def pivoted_cholesky(k, x, rank):
     d = elwise(k, x)[:, 0]  # Residual diagonal.
     L = jnp.zeros((n, rank), x.dtype)
     # Early-stopping tolerance: once the largest residual-diagonal entry
-    # falls to the round-off floor of the initial trace, the matrix is
-    # numerically exhausted — dividing the (noise-level) residual row by
-    # sqrt(pivot) would amplify round-off into enormous spurious columns
-    # (smooth kernels like EQ reach this floor well before rank 50 in f64).
-    # Dead steps write zero columns, which downstream Woodbury/sqrt ops
-    # treat as an identity block.
-    tol = jnp.finfo(x.dtype).eps * jnp.maximum(jnp.sum(d), 1e-30)
+    # falls to the round-off floor of the largest initial diagonal entry,
+    # the matrix is numerically exhausted — dividing the (noise-level)
+    # residual row by sqrt(pivot) would amplify round-off into enormous
+    # spurious columns (smooth kernels like EQ reach this floor well before
+    # rank 50 in f64). Size-independent on purpose: scaling with the trace
+    # would stop at O(N * eps) and cripple the preconditioner at large N in
+    # f32. Dead steps write zero columns, which downstream Woodbury/sqrt
+    # ops treat as an identity block.
+    tol = 100 * jnp.finfo(x.dtype).eps * jnp.maximum(jnp.max(d), 1e-30)
 
     def body(i, carry):
         d, L = carry

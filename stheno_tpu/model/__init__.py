@@ -1,6 +1,7 @@
 from .fdd import FDD, noise_as_matrix, take
 from .gp import GP, assert_same_measure, cross, intersection_measure_group
 from .measure import Measure
+from .pathwise import pathwise_sampler
 from .observations import (
     AbstractObservations,
     AbstractPseudoObservations,
@@ -26,6 +27,7 @@ __all__ = [
     "assert_same_measure",
     "intersection_measure_group",
     "Measure",
+    "pathwise_sampler",
     "AbstractObservations",
     "AbstractPseudoObservations",
     "Observations",

@@ -1,0 +1,110 @@
+"""Pathwise posterior sampling (Matheron's rule + random features).
+
+Draws posterior *functions* — callables evaluable at arbitrary test points —
+instead of pointwise multivariate-normal samples (the only sampling the
+reference supports, ``/root/reference/stheno/random.py:331-363``). The
+decoupled construction of Wilson et al., "Efficiently sampling functions
+from Gaussian process posteriors" (ICML 2020):
+
+    f_s(.) = phi(.)^T w_s  +  k(., X) K_n^{-1} (y - Phi w_s - eps_s)
+
+with ``w_s ~ N(0, I)`` a random-feature prior draw (`kernels/features.py`)
+and ``eps_s ~ N(0, noise I)``. One linear solve against the observations is
+shared by all samples; evaluating a sample at ``n_new`` points then costs
+O(n_new (N + F)) — no n_new x n_new covariance, no per-point Cholesky —
+which is what makes posterior function draws servable at production scale.
+
+TPU notes: the evaluation path is two matmuls (MXU); the cross-Gram term
+streams through the blocked ``kernel_matvec`` so arbitrarily large test
+batches stay O(block * N) in memory; the solve can run dense (Cholesky) or
+matrix-free (preconditioned CG) for large N.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..iterative.cg import batched_cg
+from ..iterative.matvec import kernel_matvec
+from ..iterative.pchol import pivoted_cholesky, woodbury_preconditioner
+from ..kernels import pairwise
+from ..kernels.features import feature_map
+from ..matrix import add, as_matrix, dense, fill_diag, solve
+
+__all__ = ["pathwise_sampler"]
+
+
+def pathwise_sampler(
+    kernel,
+    x,
+    y,
+    noise,
+    key,
+    *,
+    num_samples=1,
+    num_features=2048,
+    solver="chol",
+    block=4096,
+    cg_tol=1e-6,
+    max_cg_iters=1000,
+    precond_rank=64,
+):
+    """Build posterior function draws for an exact GP.
+
+    Args:
+        kernel: kernel expression (must admit a random-feature expansion —
+            see :func:`stheno_tpu.kernels.features.feature_map`).
+        x: observation inputs ``(n,)`` or ``(n, d)``.
+        y: observations ``(n,)``.
+        noise: scalar observation-noise variance.
+        key: PRNG key.
+        num_samples: number of function draws sharing the solve.
+        num_features: random-feature budget for the prior draws.
+        solver: ``"chol"`` (dense, O(n^3) once) or ``"cg"`` (matrix-free,
+            O(n) memory — for n beyond HBM's dense range).
+        block: row-block size for the streamed cross-Gram evaluation.
+
+    Returns:
+        ``(sample_fn, key)`` — ``sample_fn(x_new)`` evaluates all draws at
+        ``x_new``, returning ``(n_new, num_samples)``. The draws are fixed:
+        calling ``sample_fn`` twice evaluates the *same* functions.
+    """
+    x = jnp.asarray(x)
+    x2 = x[:, None] if x.ndim == 1 else x
+    y = jnp.asarray(y)
+    n, d = x2.shape
+    noise = jnp.asarray(noise, y.dtype)
+
+    key, k_feat, k_w, k_eps = jax.random.split(key, 4)
+    phi, n_feat = feature_map(kernel, k_feat, num_features, d, dtype=y.dtype)
+
+    w = jax.random.normal(k_w, (n_feat, num_samples), y.dtype)
+    prior_obs = phi(x2) @ w  # (n, s)
+    eps = jnp.sqrt(noise) * jax.random.normal(k_eps, (n, num_samples), y.dtype)
+    resid = y[:, None] - prior_obs - eps
+
+    if solver == "chol":
+        K = add(
+            as_matrix(pairwise(kernel, x2)), fill_diag(noise, n)
+        )
+        v = solve(K, resid)  # Structure-aware; Cholesky under the hood.
+        v = jnp.asarray(dense(v)) if not isinstance(v, jnp.ndarray) else v
+    elif solver == "cg":
+        mv = lambda u: kernel_matvec(kernel, x2, u, noise=noise, block=block)
+        precond = None
+        if precond_rank and precond_rank > 0:
+            L = pivoted_cholesky(kernel, x2, precond_rank)
+            precond = woodbury_preconditioner(L, noise)
+        v, _ = batched_cg(
+            mv, resid, precond=precond, tol=cg_tol, max_iters=max_cg_iters
+        )
+    else:
+        raise ValueError(f"Unknown solver {solver!r} (use 'chol' or 'cg').")
+
+    def sample_fn(x_new):
+        x_new = jnp.asarray(x_new)
+        xn = x_new[:, None] if x_new.ndim == 1 else x_new
+        prior_part = phi(xn) @ w  # (n_new, s)
+        update = kernel_matvec(kernel, xn, v, block=block, x_cols=x2)
+        return prior_part + update
+
+    return sample_fn, key
