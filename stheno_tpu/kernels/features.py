@@ -149,20 +149,17 @@ def _plan(k, d, budget, dtype):
             return lambda x: jnp.concatenate([p1(x), p2(x)], axis=-1)
 
         return n1 + n2, build_sum
-    if isinstance(k, ScaledKernel):
-        spectral = _freq_sampler(k)
-        if spectral is None:
-            n, b = _plan(k.k, d, budget, dtype)
-            scale = k.scale
-
-            def build_scaled(key):
-                p = b(key)
-                return lambda x: p(x) * jnp.sqrt(
-                    jnp.asarray(scale, dtype)
-                )
-
-            return n, build_scaled
     spectral = _freq_sampler(k)
+    if spectral is None and isinstance(k, ScaledKernel):
+        # Non-spectral inner kernel (e.g. scaled Linear): scale the features.
+        n, b = _plan(k.k, d, budget, dtype)
+        scale = k.scale
+
+        def build_scaled(key):
+            p = b(key)
+            return lambda x: p(x) * jnp.sqrt(jnp.asarray(scale, dtype))
+
+        return n, build_scaled
     if spectral is not None:
         sampler, amp = spectral
         m = max(1, budget // 2)

@@ -47,6 +47,8 @@ def pathwise_sampler(
     cg_tol=1e-6,
     max_cg_iters=1000,
     precond_rank=64,
+    mesh=None,
+    axis="data",
 ):
     """Build posterior function draws for an exact GP.
 
@@ -62,6 +64,8 @@ def pathwise_sampler(
         solver: ``"chol"`` (dense, O(n^3) once) or ``"cg"`` (matrix-free,
             O(n) memory — for n beyond HBM's dense range).
         block: row-block size for the streamed cross-Gram evaluation.
+        mesh: optional ``jax.sharding.Mesh`` — distributes the CG matvecs
+            and every sample evaluation row-wise over ``axis``.
 
     Returns:
         ``(sample_fn, key)`` — ``sample_fn(x_new)`` evaluates all draws at
@@ -89,7 +93,16 @@ def pathwise_sampler(
         v = solve(K, resid)  # Structure-aware; Cholesky under the hood.
         v = jnp.asarray(dense(v)) if not isinstance(v, jnp.ndarray) else v
     elif solver == "cg":
-        mv = lambda u: kernel_matvec(kernel, x2, u, noise=noise, block=block)
+        if mesh is not None:
+            from ..parallel.iterative import sharded_kernel_matvec
+
+            mv = lambda u: sharded_kernel_matvec(
+                kernel, x2, u, mesh, axis=axis, noise=noise, block=block
+            )
+        else:
+            mv = lambda u: kernel_matvec(
+                kernel, x2, u, noise=noise, block=block
+            )
         precond = None
         if precond_rank and precond_rank > 0:
             L = pivoted_cholesky(kernel, x2, precond_rank)
@@ -104,7 +117,14 @@ def pathwise_sampler(
         x_new = jnp.asarray(x_new)
         xn = x_new[:, None] if x_new.ndim == 1 else x_new
         prior_part = phi(xn) @ w  # (n_new, s)
-        update = kernel_matvec(kernel, xn, v, block=block, x_cols=x2)
+        if mesh is not None:
+            from ..parallel.iterative import _cross_matvec_sharded
+
+            update = _cross_matvec_sharded(
+                kernel, xn, x2, v, mesh, axis=axis, block=block
+            )
+        else:
+            update = kernel_matvec(kernel, xn, v, block=block, x_cols=x2)
         return prior_part + update
 
     return sample_fn, key

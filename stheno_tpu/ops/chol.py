@@ -1,0 +1,92 @@
+"""GEMM-rich recursive Cholesky for TPU.
+
+XLA's native `cholesky` lowers to a sequential panel algorithm that reaches
+~20 TFLOP/s on a v5e where plain f32 matmul reaches ~160 TFLOP/s (measured
+on this toolchain, see bench history). The MXU-native formulation is the
+classic divide-and-conquer factorisation in which *all* O(n^3) work is
+matrix multiplication:
+
+    chol([[A11, .], [A21, A22]]):
+        L11 = chol(A11)                      (recurse)
+        L21 = A21 @ L11^{-T}                 (GEMM; L11^{-1} built below)
+        L22 = chol(A22 - L21 @ L21^T)        (GEMM + recurse)
+
+with the triangular inverse itself computed by the same recursion
+(`inv([[L11, 0], [L21, L22]]) = [[L11^{-1}, 0],
+[-L22^{-1} @ L21 @ L11^{-1}, L22^{-1}]]` — two GEMMs per level). Base cases
+fall back to XLA's `cholesky`/`solve_triangular`, which are fine at small n.
+
+Numerics: applying an explicit triangular inverse amplifies error by
+~cond(L11) relative to a backward-stable triangular solve, which for
+jittered GP Gram matrices in f32 costs a small constant factor in residual
+(validated against XLA in `tests/test_fast_cholesky.py`); the speed-of-light
+trade is standard practice in TPU/accelerator linear algebra. Everything is
+plain jnp, so the function is jit/vmap/grad-compatible (reverse mode falls
+back to the usual Cholesky-VJP formula through the base cases).
+"""
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["fast_cholesky", "tri_inv_lower"]
+
+# Base-case size: below this, XLA's kernels are competitive and recursion
+# overhead is not worth it. 512 measured best on v5e (256..1024 tried).
+_BASE = 512
+
+
+def _split(n):
+    """Split point: half, rounded up to a multiple of _BASE for aligned
+    GEMM shapes (plain half when rounding would swallow the whole matrix)."""
+    half = (n + 1) // 2
+    m = ((half + _BASE - 1) // _BASE) * _BASE
+    return half if m >= n else m
+
+
+def tri_inv_lower(L):
+    """Inverse of a lower-triangular matrix by blocked recursion (GEMMs)."""
+    n = L.shape[-1]
+    if n <= _BASE:
+        eye = jnp.eye(n, dtype=L.dtype)
+        if L.ndim > 2:
+            eye = jnp.broadcast_to(eye, L.shape)
+        return jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    m = _split(n)
+    L11 = L[..., :m, :m]
+    L21 = L[..., m:, :m]
+    L22 = L[..., m:, m:]
+    I11 = tri_inv_lower(L11)
+    I22 = tri_inv_lower(L22)
+    I21 = -I22 @ (L21 @ I11)
+    top = jnp.concatenate(
+        [I11, jnp.zeros(L.shape[:-2] + (m, n - m), L.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([I21, I22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def fast_cholesky(A):
+    """Lower Cholesky factor of SPD ``A`` with all O(n^3) work on the MXU.
+
+    Drop-in for ``jnp.linalg.cholesky`` (no NaN-on-failure semantics for
+    indefinite inputs is guaranteed beyond what the base case provides).
+    Supports leading batch dimensions."""
+    n = A.shape[-1]
+    if n <= _BASE:
+        return jnp.linalg.cholesky(A)
+    m = _split(n)
+    A11 = A[..., :m, :m]
+    A21 = A[..., m:, :m]
+    A22 = A[..., m:, m:]
+    L11 = fast_cholesky(A11)
+    # Panel via explicit triangular inverse: one big GEMM instead of a
+    # sequential triangular solve with n-m right-hand sides.
+    L11_inv = tri_inv_lower(L11)
+    L21 = A21 @ jnp.swapaxes(L11_inv, -1, -2)
+    S = A22 - L21 @ jnp.swapaxes(L21, -1, -2)
+    L22 = fast_cholesky(S)
+    top = jnp.concatenate(
+        [L11, jnp.zeros(A.shape[:-2] + (m, n - m), A.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([L21, L22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

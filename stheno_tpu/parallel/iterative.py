@@ -67,6 +67,29 @@ def sharded_kernel_matvec(k, x, v, mesh, axis="data", noise=None, block=4096):
     return out[:, 0] if v_in.ndim == 1 else out
 
 
+def _cross_matvec_sharded(k, x_rows, x_cols, v, mesh, axis="data", block=4096):
+    """``k(x_rows, x_cols) @ v`` with the rows sharded over ``axis``
+    (used by pathwise sample evaluation at large test batches)."""
+    x_rows = jnp.asarray(x_rows)
+    n, d = x_rows.shape
+    D = mesh.shape[axis]
+    n_pad = -(-n // D) * D
+    rows_pad = jnp.zeros((n_pad, d), x_rows.dtype).at[:n].set(x_rows)
+    local_block = min(block, n_pad // D)
+
+    def body(r_loc, c_full, v_full):
+        return kernel_matvec(k, r_loc, v_full, block=local_block, x_cols=c_full)
+
+    out = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(rows_pad, jnp.asarray(x_cols), jnp.asarray(v))
+    return out[:n]
+
+
 def make_sharded_surrogate_grad(kernel_fn, mesh, axis="data", block=4096):
     """Distributed Hutchinson-surrogate gradient for the iterative NLML.
 

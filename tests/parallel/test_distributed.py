@@ -217,3 +217,27 @@ def test_sharded_iterative_training_loop(mesh):
         vals.append(float(v))
     assert all(np.isfinite(v) for v in vals), vals
     assert vals[-1] < vals[0], vals
+
+
+def test_distributed_nlml_deterministic(mesh):
+    """Collective schedules must be deterministic: two identical runs of the
+    distributed NLML value+gradient are bitwise equal (SURVEY §5's
+    deterministic-collective obligation — no atomics/reduction-order
+    nondeterminism in the shard_map paths)."""
+    from stheno_tpu.parallel import dist_nlml, sharded_gram
+
+    x = jnp.linspace(0.0, 10.0, 64)
+    y = jnp.sin(x)
+
+    @jax.jit
+    def step(params):
+        k = jnp.exp(params["log_s2"]) * EQ().stretch(jnp.exp(params["log_ell"]))
+        K = sharded_gram(k, x[:, None], mesh, noise=0.1)
+        return dist_nlml(K, y, mesh, block=8)
+
+    params = {"log_ell": jnp.asarray(0.1), "log_s2": jnp.asarray(0.2)}
+    v1, g1 = jax.value_and_grad(step)(params)
+    v2, g2 = jax.value_and_grad(step)(params)
+    assert float(v1) == float(v2)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert float(a) == float(b)

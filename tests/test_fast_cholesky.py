@@ -1,0 +1,76 @@
+"""Recursive GEMM-rich Cholesky: parity with XLA's factorisation, batching,
+differentiation, and use through the structured-matrix layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stheno_tpu.ops.chol import fast_cholesky, tri_inv_lower
+
+
+def _spd(n, seed=0, cond=1e4):
+    r = np.random.RandomState(seed)
+    q, _ = np.linalg.qr(r.randn(n, n))
+    evals = np.logspace(0, -np.log10(cond), n)
+    return jnp.asarray((q * evals) @ q.T)
+
+
+@pytest.mark.parametrize("n", [64, 513, 1200, 2048])
+def test_fast_cholesky_matches_xla(n):
+    A = _spd(n, seed=n)
+    L = np.asarray(fast_cholesky(A))
+    # Lower-triangular, and L L^T reconstructs A.
+    assert np.allclose(L, np.tril(L))
+    resid = np.max(np.abs(L @ L.T - np.asarray(A)))
+    assert resid < 1e-9 * np.max(np.abs(np.asarray(A))) * n, resid
+
+
+def test_tri_inv_lower():
+    n = 1500
+    A = _spd(n, seed=7)
+    L = jnp.linalg.cholesky(A)
+    I = np.asarray(tri_inv_lower(L) @ L)
+    assert np.max(np.abs(I - np.eye(n))) < 1e-8 * n
+
+
+def test_fast_cholesky_batched():
+    A = jnp.stack([_spd(700, seed=i) for i in range(3)])
+    L = fast_cholesky(A)
+    assert L.shape == A.shape
+    for i in range(3):
+        resid = np.max(np.abs(np.asarray(L[i] @ L[i].T - A[i])))
+        assert resid < 1e-9
+
+    # vmap agrees with the direct batched call.
+    Lv = jax.vmap(fast_cholesky)(A)
+    np.testing.assert_allclose(np.asarray(Lv), np.asarray(L), rtol=1e-10)
+
+
+def test_fast_cholesky_grad():
+    """Gradients agree with XLA's for any symmetric construction of the
+    input (the raw cotangents differ only in the lower-vs-split triangle
+    convention, which is unobservable for symmetric-built Gram matrices)."""
+    A = _spd(600, seed=3, cond=1e3)
+
+    def wrap(chol):
+        def f(a):
+            a = (a + a.T) / 2
+            return jnp.sum(jnp.log(jnp.diagonal(chol(a))))
+
+        return f
+
+    g_fast = np.asarray(jax.grad(wrap(fast_cholesky))(A))
+    g_xla = np.asarray(jax.grad(wrap(jnp.linalg.cholesky))(A))
+    np.testing.assert_allclose(g_fast, g_xla, rtol=1e-6, atol=1e-9)
+
+
+def test_structured_cholesky_uses_fast_path_consistently():
+    """matrix.cholesky on a large Dense must agree with XLA regardless of
+    which backend the size heuristic picks."""
+    import stheno_tpu.matrix as M
+
+    A = _spd(1100, seed=9)
+    L = M.cholesky(M.Dense(A))
+    resid = np.max(np.abs(np.asarray(M.dense(L)) @ np.asarray(M.dense(L)).T - np.asarray(A)))
+    assert resid < 1e-9

@@ -136,3 +136,27 @@ def test_pathwise_jits():
     out = draw(jax.random.PRNGKey(0), jnp.linspace(0, 10, 9))
     assert out.shape == (9, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_pathwise_on_mesh():
+    """CG solve + sample evaluation distribute over a device mesh and match
+    the single-device path."""
+    from stheno_tpu.parallel import make_data_mesh
+
+    mesh = make_data_mesh(8)
+    r = np.random.RandomState(5)
+    x = jnp.asarray(np.sort(r.rand(48) * 10))
+    y = jnp.asarray(np.sin(np.asarray(x)))
+    common = dict(num_samples=3, num_features=512, solver="cg", block=8,
+                  cg_tol=1e-10, precond_rank=20)
+    fn_mesh, _ = pathwise_sampler(
+        EQ(), x, y, 0.01, jax.random.PRNGKey(4), mesh=mesh, **common
+    )
+    fn_one, _ = pathwise_sampler(
+        EQ(), x, y, 0.01, jax.random.PRNGKey(4), **common
+    )
+    x_new = jnp.linspace(0, 10, 21)
+    np.testing.assert_allclose(
+        np.asarray(fn_mesh(x_new)), np.asarray(fn_one(x_new)),
+        rtol=1e-8, atol=1e-10,
+    )
