@@ -31,14 +31,10 @@ def main():
     x = jnp.linspace(0.0, 10.0, n, dtype=dtype)
     y = jnp.sin(x) + 0.3 * jnp.cos(3.2 * x)
 
-    def nlml(y):
+    def nlml(y, ell):
         # Periodic-EQ prior with noise, matching the reference's benchmark
         # model (`README_without_examples.md:666-690`).
-        f = GP(
-            EQ()
-            .stretch(jnp.asarray(2.0, dtype))
-            .periodic(jnp.asarray(1.0, dtype))
-        )
+        f = GP(EQ().stretch(ell).periodic(jnp.asarray(1.0, dtype)))
         return -f.measure.logpdf(f(x, jnp.asarray(0.1, dtype)), y)
 
     iters = 50
@@ -46,8 +42,11 @@ def main():
     @jax.jit
     def many(y):
         def body(i, acc):
-            # acc-dependent perturbation keeps every iteration live.
-            out = nlml(y + acc * 1e-30)
+            # The acc-dependent *hyperparameter* keeps the whole call live:
+            # the Gram build and its Cholesky depend on the lengthscale, so
+            # XLA cannot hoist them out of the loop (the reference's %timeit
+            # likewise re-does the full computation every call).
+            out = nlml(y, jnp.asarray(2.0, dtype) + acc * 1e-30)
             return acc + out * 1e-30
 
         return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))

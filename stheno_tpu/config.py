@@ -9,7 +9,7 @@ default suited to single precision.
 
 import jax.numpy as jnp
 
-__all__ = ["epsilon", "jitter", "set_epsilon"]
+__all__ = ["epsilon", "jitter", "set_epsilon", "cholesky_impl", "set_cholesky_impl"]
 
 #: Global jitter override. ``None`` means "dtype-aware default".
 epsilon = None
@@ -25,6 +25,20 @@ def set_epsilon(value):
     """Set the global Cholesky jitter. ``None`` restores dtype-aware defaults."""
     global epsilon
     epsilon = value
+
+
+#: Dense-Cholesky implementation policy: "auto" uses the GEMM-rich recursive
+#: factorisation (`ops/chol.py`) on accelerator backends above its base-case
+#: size and XLA's native kernel otherwise; "xla" / "fast" force one choice.
+cholesky_impl = "auto"
+
+
+def set_cholesky_impl(value):
+    """Set the dense-Cholesky policy: "auto", "xla", or "fast"."""
+    global cholesky_impl
+    if value not in ("auto", "xla", "fast"):
+        raise ValueError(f"unknown cholesky_impl: {value!r}")
+    cholesky_impl = value
 
 
 def jitter(dtype) -> float:

@@ -457,7 +457,21 @@ def _chol_dense(mat):
     n = mat.shape[-1]
     eps = config.jitter(mat.dtype)
     reg = eps * jnp.eye(n, dtype=mat.dtype)
-    return jnp.linalg.cholesky(mat + reg)
+    mat = mat + reg
+    policy = config.cholesky_impl
+    if policy == "auto":
+        # XLA's cholesky lowers to a sequential panel loop; the recursive
+        # GEMM formulation wins on accelerators once the GEMM work dominates
+        # the sequential base-case chain (measured crossover ~4096 on v5e;
+        # see ops/chol.py). On CPU (f64 LAPACK) the native kernel is better.
+        use_fast = jax.default_backend() != "cpu" and n >= 4096
+    else:
+        use_fast = policy == "fast"
+    if use_fast:
+        from ..ops.chol import fast_cholesky
+
+        return fast_cholesky(mat)
+    return jnp.linalg.cholesky(mat)
 
 
 def cholesky(a):

@@ -279,6 +279,13 @@ class Woodbury(AbstractMatrix):
     def __init__(self, diag: "Diagonal", lr: "LowRank"):
         if not isinstance(diag, Diagonal) or not isinstance(lr, LowRank):
             raise TypeError("Woodbury requires (Diagonal, LowRank).")
+        if diag.shape[-2:] != lr.shape[-2:]:
+            raise ValueError(
+                f"Woodbury shape mismatch: Diagonal is {diag.shape[-2:]}, "
+                f"LowRank is {lr.shape[-2:]}. (Note LowRank's signature is "
+                f"LowRank(left, right=None, middle=None); a square `middle` "
+                f"must be passed by keyword.)"
+            )
         self.diag = diag
         self.lr = lr
         self._cache = {}

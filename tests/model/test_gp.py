@@ -58,15 +58,20 @@ def test_marginal_credible_bounds_10k_under_1s():
     # then measures the algorithmic path: it fails if the 10k x 10k
     # covariance is ever formed.
     post(x_new).marginal_credible_bounds()
-    post2 = f | (f(x_obs, 0.1), y[:, 0])
-    t0 = time.time()
-    mean, lower, upper = post2(x_new).marginal_credible_bounds()
-    jax.block_until_ready((mean, lower, upper))
-    elapsed = time.time() - t0
     # Forming the 10k x 10k covariance would take tens of seconds and
     # ~800 MB; the margin over the reference's 1s absorbs shared-CI load
-    # jitter (observed up to ~1.6s under full-suite load) while still
-    # catching any O(N^2) regression by an order of magnitude.
+    # jitter (a single run has been observed to take >5s under full-suite
+    # memory pressure, hence best-of-3) while still catching any O(N^2)
+    # regression by an order of magnitude.
+    elapsed = float("inf")
+    for _ in range(3):
+        post_i = f | (f(x_obs, 0.1), y[:, 0])
+        t0 = time.time()
+        mean, lower, upper = post_i(x_new).marginal_credible_bounds()
+        jax.block_until_ready((mean, lower, upper))
+        elapsed = min(elapsed, time.time() - t0)
+        if elapsed < 2.5:
+            break
     assert elapsed < 2.5, f"credible bounds at 10k points took {elapsed:.2f}s"
     assert mean.shape == (10_000,)
     assert bool(jnp.all(upper >= lower))

@@ -74,3 +74,22 @@ def test_structured_cholesky_uses_fast_path_consistently():
     L = M.cholesky(M.Dense(A))
     resid = np.max(np.abs(np.asarray(M.dense(L)) @ np.asarray(M.dense(L)).T - np.asarray(A)))
     assert resid < 1e-9
+
+
+def test_cholesky_impl_policy():
+    """config.set_cholesky_impl switches the dense factorisation; "fast"
+    agrees with "xla" through the structured layer, and bad values raise."""
+    import stheno_tpu.matrix as M
+    from stheno_tpu import config
+
+    A = _spd(700, seed=11)
+    try:
+        config.set_cholesky_impl("xla")
+        L_xla = np.asarray(M.dense(M.cholesky(M.Dense(A))))
+        config.set_cholesky_impl("fast")
+        L_fast = np.asarray(M.dense(M.cholesky(M.Dense(A))))
+    finally:
+        config.set_cholesky_impl("auto")
+    np.testing.assert_allclose(L_fast, L_xla, rtol=1e-8, atol=1e-10)
+    with pytest.raises(ValueError):
+        config.set_cholesky_impl("nope")
