@@ -37,27 +37,38 @@ def main():
         f = GP(EQ().stretch(ell).periodic(jnp.asarray(1.0, dtype)))
         return -f.measure.logpdf(f(x, jnp.asarray(0.1, dtype)), y)
 
-    iters = 50
+    def make(iters):
+        @jax.jit
+        def many(y):
+            def body(i, acc):
+                # The acc-dependent *hyperparameter* keeps the whole call
+                # live: the Gram build and its Cholesky depend on the
+                # lengthscale, so XLA cannot hoist them out of the loop (the
+                # reference's %timeit likewise re-does the full computation
+                # every call).
+                out = nlml(y, jnp.asarray(2.0, dtype) + acc * 1e-30)
+                return acc + out * 1e-30
 
-    @jax.jit
-    def many(y):
-        def body(i, acc):
-            # The acc-dependent *hyperparameter* keeps the whole call live:
-            # the Gram build and its Cholesky depend on the lengthscale, so
-            # XLA cannot hoist them out of the loop (the reference's %timeit
-            # likewise re-does the full computation every call).
-            out = nlml(y, jnp.asarray(2.0, dtype) + acc * 1e-30)
-            return acc + out * 1e-30
+            return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
 
-        return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
+        return many
 
-    float(many(y))  # Compile + warm up.
-    times = []
-    for _ in range(3):
+    # Dispatch-corrected slope timing: the remote-TPU tunnel costs ~25 ms
+    # per host round-trip, which would inflate a min(total)/iters estimate
+    # by ~0.5 ms/call. Timing two loop lengths and taking the slope isolates
+    # the true per-call device latency.
+    i1, i2 = 10, 110
+    m1, m2 = make(i1), make(i2)
+    float(m1(y)), float(m2(y))  # Compile + warm up.
+    t1s, t2s = [], []
+    for _ in range(5):
         t0 = time.perf_counter()
-        float(many(y))
-        times.append(time.perf_counter() - t0)
-    per_call_ms = min(times) / iters * 1e3
+        float(m1(y))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(m2(y))
+        t2s.append(time.perf_counter() - t0)
+    per_call_ms = (min(t2s) - min(t1s)) / (i2 - i1) * 1e3
 
     print(
         json.dumps(

@@ -462,9 +462,10 @@ def _chol_dense(mat):
     if policy == "auto":
         # XLA's cholesky lowers to a sequential panel loop; the recursive
         # GEMM formulation wins on accelerators once the GEMM work dominates
-        # the sequential base-case chain (measured crossover ~4096 on v5e;
-        # see ops/chol.py). On CPU (f64 LAPACK) the native kernel is better.
-        use_fast = jax.default_backend() != "cpu" and n >= 4096
+        # the sequential base-case chain (measured crossover ~3072 on v5e,
+        # 1.8x at 8192, see ops/chol.py). On CPU (f64 LAPACK) the native
+        # kernel is better.
+        use_fast = jax.default_backend() != "cpu" and n >= 3072
     else:
         use_fast = policy == "fast"
     if use_fast:

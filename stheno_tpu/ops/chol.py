@@ -1,10 +1,12 @@
 """GEMM-rich recursive Cholesky for TPU.
 
-XLA's native `cholesky` lowers to a sequential panel algorithm that reaches
-~20 TFLOP/s on a v5e where plain f32 matmul reaches ~160 TFLOP/s (measured
-on this toolchain, see bench history). The MXU-native formulation is the
-classic divide-and-conquer factorisation in which *all* O(n^3) work is
-matrix multiplication:
+XLA's native `cholesky` lowers to a sequential panel algorithm; measured on
+a v5e with dispatch-corrected slope timing it reaches 10.6/14.6/21.3 TFLOP/s
+at n = 4096/8192/16384, while the divide-and-conquer formulation below
+reaches 14.0/27.0/38.1 TFLOP/s (crossover ~3072; below that XLA wins on
+lower fixed overhead). The MXU-native formulation is the classic
+divide-and-conquer factorisation in which *all* O(n^3) work is matrix
+multiplication:
 
     chol([[A11, .], [A21, A22]]):
         L11 = chol(A11)                      (recurse)
@@ -28,7 +30,10 @@ back to the usual Cholesky-VJP formula through the base cases).
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fast_cholesky", "tri_inv_lower"]
+from . import pallas_chol
+from .pallas_chol import chol_tile, chol_tile_available
+
+__all__ = ["fast_cholesky", "cholesky_with_inv", "tri_inv_lower"]
 
 # Base-case size: below this, XLA's kernels are competitive and recursion
 # overhead is not worth it. 512 measured best on v5e (256..1024 tried).
@@ -65,6 +70,51 @@ def tri_inv_lower(L):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def cholesky_with_inv(A):
+    """``(L, inv(L))`` of SPD ``A`` with all O(n^3) work on the MXU.
+
+    Base case: the Pallas VMEM-resident tile kernel (``pallas_chol.py``)
+    when available, which emits the inverse as a byproduct of its rank-1
+    loop; XLA's ``cholesky`` + triangular solve otherwise. Above the base,
+    one divide-and-conquer level adds three GEMMs (panel, Schur, inverse
+    off-diagonal) — no sequential triangular substitution anywhere.
+    2-D inputs only (callers vmap or fall back for batches)."""
+    n = A.shape[-1]
+    if chol_tile_available() and n <= pallas_chol.MAX_TILE:
+        return chol_tile(A)
+    if n <= _BASE:
+        L = jnp.linalg.cholesky(A)
+        eye = jnp.eye(n, dtype=L.dtype)
+        return L, jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    m = _split(n)
+    A11 = A[:m, :m]
+    A21 = A[m:, :m]
+    A22 = A[m:, m:]
+    L11, I11 = cholesky_with_inv(A11)
+    # Panel via the explicit triangular inverse: one big GEMM instead of a
+    # sequential triangular solve with n-m right-hand sides.
+    L21 = A21 @ jnp.swapaxes(I11, -1, -2)
+    S = A22 - L21 @ jnp.swapaxes(L21, -1, -2)
+    L22, I22 = cholesky_with_inv(S)
+    I21 = -I22 @ (L21 @ I11)
+    zeros = jnp.zeros((m, n - m), A.dtype)
+    L = jnp.concatenate(
+        [
+            jnp.concatenate([L11, zeros], axis=-1),
+            jnp.concatenate([L21, L22], axis=-1),
+        ],
+        axis=-2,
+    )
+    Linv = jnp.concatenate(
+        [
+            jnp.concatenate([I11, zeros], axis=-1),
+            jnp.concatenate([I21, I22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return L, Linv
+
+
 def fast_cholesky(A):
     """Lower Cholesky factor of SPD ``A`` with all O(n^3) work on the MXU.
 
@@ -72,6 +122,8 @@ def fast_cholesky(A):
     indefinite inputs is guaranteed beyond what the base case provides).
     Supports leading batch dimensions."""
     n = A.shape[-1]
+    if A.ndim == 2:
+        return cholesky_with_inv(A)[0]
     if n <= _BASE:
         return jnp.linalg.cholesky(A)
     m = _split(n)
@@ -79,8 +131,6 @@ def fast_cholesky(A):
     A21 = A[..., m:, :m]
     A22 = A[..., m:, m:]
     L11 = fast_cholesky(A11)
-    # Panel via explicit triangular inverse: one big GEMM instead of a
-    # sequential triangular solve with n-m right-hand sides.
     L11_inv = tri_inv_lower(L11)
     L21 = A21 @ jnp.swapaxes(L11_inv, -1, -2)
     S = A22 - L21 @ jnp.swapaxes(L21, -1, -2)
