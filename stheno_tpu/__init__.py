@@ -14,6 +14,7 @@ from .dist import *  # noqa: F401,F403
 from .lazy import LazyMatrix, LazyVector
 from .mo import *  # noqa: F401,F403
 from .model import *  # noqa: F401,F403
+from .b import B  # noqa: F401  (LAB-compatible op namespace)
 
 
 class BreakingChangeWarning(UserWarning):
