@@ -32,6 +32,7 @@ from .matrix import ops as _ops
 from .matrix.types import (
     AbstractMatrix,
     Diagonal,
+    Zero,
     is_structured,
 )
 
@@ -87,23 +88,18 @@ class _BNamespace(types.ModuleType):
     matmul_diag = staticmethod(_ops.matmul_diag)
 
     @staticmethod
-    def matmul(a, b, tr_a=False, tr_b=False, tr_c=False):
-        if tr_a:
-            a = _ops.transpose(a) if is_structured(a) else jnp.swapaxes(
-                jnp.asarray(a), -1, -2
-            )
-        if tr_b:
-            b = _ops.transpose(b) if is_structured(b) else jnp.swapaxes(
-                jnp.asarray(b), -1, -2
-            )
-        out = _ops.matmul(a, b)
-        if tr_c:
-            out = _ops.transpose(out) if is_structured(out) else jnp.swapaxes(
-                jnp.asarray(out), -1, -2
-            )
-        return out
+    def matmul(a, b, c=None, tr_a=False, tr_b=False, tr_c=False):
+        """Two- or three-matrix product with transpose flags — LAB's
+        ``B.matmul(a, var, a, tr_c=True)`` pattern
+        (``/root/reference/stheno/random.py:386``) included."""
+        if c is not None:
+            if tr_b:
+                b = _BNamespace.transpose(b)
+            return _ops.matmul3(a, b, c, tr_a=tr_a, tr_c=tr_c)
+        return _ops.matmul(a, b, tr_a=tr_a, tr_b=tr_b)
 
     mm = matmul
+    matmul3 = staticmethod(_ops.matmul3)
 
     @staticmethod
     def trace(a):
@@ -138,13 +134,9 @@ class _BNamespace(types.ModuleType):
 
     @staticmethod
     def multiply(a, b):
-        if is_structured(a) and is_structured(b):
+        if is_structured(a) or is_structured(b):
             return _ops.multiply(a, b)
-        if is_structured(a) and jnp.ndim(b) == 0:
-            return _ops.scale(a, b)
-        if is_structured(b) and jnp.ndim(a) == 0:
-            return _ops.scale(b, a)
-        return jnp.multiply(_arr(a), _arr(b))
+        return jnp.multiply(jnp.asarray(a), jnp.asarray(b))
 
     @staticmethod
     def outer(a, b=None):
@@ -189,19 +181,28 @@ class _BNamespace(types.ModuleType):
 
     @staticmethod
     def rank(a):
+        if isinstance(a, AbstractMatrix):
+            return len(a.shape)
         return jnp.ndim(a)
 
     @staticmethod
     def is_scalar(a):
+        if isinstance(a, AbstractMatrix):
+            return False
         return jnp.ndim(a) == 0
 
     @staticmethod
-    def dtype(a, *_):
-        if isinstance(a, AbstractMatrix):
-            return a.dtype
-        if hasattr(a, "dtype"):
-            return a.dtype
-        return jnp.result_type(a)
+    def dtype(*args):
+        """dtype of one value, or the promoted dtype of several (LAB's
+        multi-arg form, e.g. ``B.dtype(dist.mean, dist.var)``)."""
+        def one(a):
+            if isinstance(a, AbstractMatrix) or hasattr(a, "dtype"):
+                return a.dtype
+            return jnp.result_type(a)
+
+        if len(args) == 1:
+            return one(args[0])
+        return jnp.result_type(*(one(a) for a in args))
 
     @staticmethod
     def dtype_float(a):
@@ -214,6 +215,9 @@ class _BNamespace(types.ModuleType):
     def cast(dtype, a):
         if hasattr(a, "cast"):  # Normal and friends
             return a.cast(dtype)
+        if isinstance(a, Zero):
+            # Zero's dtype is static aux-data (no leaves for tree.map).
+            return Zero(dtype, a.rows, a.cols)
         if is_structured(a):
             return jax.tree.map(lambda leaf: leaf.astype(dtype), a)
         return jnp.asarray(a).astype(dtype)
@@ -234,18 +238,28 @@ class _BNamespace(types.ModuleType):
         return jnp.ones(shape, dtype)
 
     @staticmethod
-    def zero(dtype):
-        return jnp.asarray(0, dtype)
+    def zero(dtype_or_ref):
+        # LAB accepts a dtype or a reference tensor (e.g. B.zero(var_diag),
+        # reference random.py:226).
+        dt = getattr(dtype_or_ref, "dtype", dtype_or_ref)
+        return jnp.asarray(0, dt)
 
     @staticmethod
-    def one(dtype):
-        return jnp.asarray(1, dtype)
+    def one(dtype_or_ref):
+        dt = getattr(dtype_or_ref, "dtype", dtype_or_ref)
+        return jnp.asarray(1, dt)
 
     @staticmethod
     def eye(a):
-        n = a.shape[-2] if hasattr(a, "shape") else int(a)
-        dt = a.dtype if hasattr(a, "dtype") else None
-        return jnp.eye(n, dtype=dt)
+        """Identity matching the reference tensor's trailing (possibly
+        rectangular) shape and batch dims, like LAB's ``B.eye``."""
+        if not hasattr(a, "shape"):
+            return jnp.eye(int(a))
+        rows, cols = a.shape[-2], a.shape[-1]
+        out = jnp.eye(rows, cols, dtype=a.dtype)
+        if len(a.shape) > 2:
+            out = jnp.broadcast_to(out, tuple(a.shape[:-2]) + (rows, cols))
+        return out
 
     @staticmethod
     def linspace(dtype, start, stop, num):

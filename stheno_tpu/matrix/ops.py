@@ -492,7 +492,11 @@ def cholesky(a):
             return Kronecker(cholesky(a.left), cholesky(a.right))
         return LowerTriangular(_chol_dense(dense(a)))
 
-    return _tracer_safe_cache(a, "cholesky", compute)
+    # The jitter is part of the cache key: the reference's documented
+    # recovery workflow is "bump B.epsilon after a failed factorisation and
+    # retry" (README_without_examples.md:811-822), which must not return a
+    # factor computed under the old epsilon.
+    return _tracer_safe_cache(a, ("cholesky", config.epsilon), compute)
 
 
 def _solve_triangular(tri, b, lower):

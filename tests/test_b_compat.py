@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stheno_tpu import B, Dense, Diagonal, EQ, GP, config
+from stheno_tpu import B, Dense, Diagonal, EQ, GP, Zero, config
 
 
 def test_epsilon_is_the_global_jitter():
@@ -84,6 +84,79 @@ def test_shaping_dtype_rng():
     assert not np.array_equal(np.asarray(state2), np.asarray(state))
     state3, z = B.randn(state2, jnp.float64, 2, 2)
     assert z.shape == (2, 2)
+
+
+def test_epsilon_change_invalidates_cached_factor():
+    """The reference's documented recovery workflow: bump B.epsilon after a
+    factorisation and retry *on the same matrix object* — the cached factor
+    must not be reused."""
+    A = Dense(jnp.eye(3))
+    try:
+        B.epsilon = None
+        B.cholesky(A)
+        B.epsilon = 1e-2
+        L2 = B.cholesky(A)
+        np.testing.assert_allclose(
+            np.diag(np.asarray(B.dense(L2))), np.sqrt(1.01), rtol=1e-9
+        )
+    finally:
+        B.epsilon = None
+
+
+def test_matmul_three_arg_form():
+    r = np.random.RandomState(0)
+    a = jnp.asarray(r.randn(3, 4))
+    v = jnp.asarray(r.randn(4, 4))
+    np.testing.assert_allclose(
+        np.asarray(B.dense(B.matmul(a, v, a, tr_c=True))),
+        np.asarray(a) @ np.asarray(v) @ np.asarray(a).T,
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(B.dense(B.mm(a, v, a, tr_c=True))),
+        np.asarray(a) @ np.asarray(v) @ np.asarray(a).T,
+        rtol=1e-10,
+    )
+
+
+def test_scalar_and_rank_semantics_for_structured():
+    d = Diagonal(jnp.ones(3))
+    assert not B.is_scalar(d)
+    assert B.rank(d) == 2
+    # The reference's noise-promotion dispatch pattern (fdd.py:31-33).
+    assert B.is_scalar(jnp.asarray(0.1))
+    assert B.rank(jnp.ones(3)) == 1
+
+
+def test_zero_one_accept_tensor_references():
+    assert B.zero(jnp.ones(3, jnp.float32)).dtype == jnp.float32
+    assert float(B.one(jnp.ones(2))) == 1.0
+    assert B.zero(jnp.float64).dtype == jnp.float64
+
+
+def test_dtype_promotes_across_args():
+    a32 = jnp.ones(2, jnp.float32)
+    a64 = jnp.ones(2, jnp.float64)
+    assert B.dtype(a32, a64) == jnp.float64
+    assert B.dtype(a32) == jnp.float32
+
+
+def test_cast_zero_matrix():
+    z = Zero(jnp.float64, 2, 2)
+    assert B.cast(jnp.float32, z).dtype == jnp.float32
+
+
+def test_eye_matches_reference_tensor():
+    assert B.eye(jnp.ones((2, 3))).shape == (2, 3)
+    assert B.eye(jnp.ones((4, 2, 2))).shape == (4, 2, 2)
+    np.testing.assert_allclose(np.asarray(B.eye(jnp.ones((3, 3)))), np.eye(3))
+
+
+def test_multiply_keeps_structure():
+    d = Diagonal(jnp.asarray([1.0, 2.0]))
+    out = B.multiply(d, 3.0)
+    assert isinstance(out, Diagonal)
+    np.testing.assert_allclose(np.asarray(out.diag), [3.0, 6.0])
 
 
 def test_drives_the_model_dsl_like_the_reference_readme():
