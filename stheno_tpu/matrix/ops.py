@@ -454,6 +454,9 @@ def _tracer_safe_cache(a, key, compute):
 
 
 def _chol_dense(mat):
+    """Jittered dense Cholesky. Returns ``(L, Linv_or_None)``: the fast path
+    computes ``inv(L)`` as a byproduct (XLA prunes it when nothing uses it),
+    which turns downstream triangular solves into GEMMs."""
     n = mat.shape[-1]
     eps = config.jitter(mat.dtype)
     reg = eps * jnp.eye(n, dtype=mat.dtype)
@@ -468,18 +471,32 @@ def _chol_dense(mat):
         use_fast = jax.default_backend() != "cpu" and n >= 3072
     else:
         use_fast = policy == "fast"
+    if use_fast and mat.ndim == 2:
+        from ..ops.chol import cholesky_with_inv
+
+        return cholesky_with_inv(mat)
     if use_fast:
         from ..ops.chol import fast_cholesky
 
-        return fast_cholesky(mat)
-    return jnp.linalg.cholesky(mat)
+        return fast_cholesky(mat), None
+    return jnp.linalg.cholesky(mat), None
+
+
+def _lower_with_inv(pair):
+    L, Linv = pair
+    tri = LowerTriangular(L)
+    if Linv is not None:
+        # Consumed by _solve_triangular; trace-local, so caching a traced
+        # value on the freshly created object is safe.
+        tri._cache["inv"] = Linv
+    return tri
 
 
 def cholesky(a):
     """Cholesky factor (lower). Cached per matrix object; adds the configured
     jitter for dense factorisations like the reference's ``B.epsilon`` policy."""
     if not is_structured(a):
-        return LowerTriangular(_chol_dense(jnp.asarray(a)))
+        return _lower_with_inv(_chol_dense(jnp.asarray(a)))
 
     def compute():
         if isinstance(a, Diagonal):
@@ -490,7 +507,7 @@ def cholesky(a):
             return a
         if isinstance(a, Kronecker):
             return Kronecker(cholesky(a.left), cholesky(a.right))
-        return LowerTriangular(_chol_dense(dense(a)))
+        return _lower_with_inv(_chol_dense(dense(a)))
 
     # The jitter is part of the cache key: the reference's documented
     # recovery workflow is "bump B.epsilon after a failed factorisation and
@@ -501,6 +518,12 @@ def cholesky(a):
 
 def _solve_triangular(tri, b, lower):
     b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
+    # Factors from the fast Cholesky path carry their explicit inverse
+    # (free: pruned by XLA when unused) — the solve is then one GEMM
+    # instead of a sequential substitution.
+    inv = getattr(tri, "_cache", {}).get("inv")
+    if inv is not None and b_arr.ndim == inv.ndim:
+        return jnp.matmul(inv, b_arr, preferred_element_type=b_arr.dtype)
     return jax.scipy.linalg.solve_triangular(tri.mat, b_arr, lower=lower)
 
 
@@ -536,6 +559,11 @@ def solve(a, b):
     L = cholesky(a)
     if isinstance(L, LowerTriangular):
         y = _solve_triangular(L, b, lower=True)
+        inv = getattr(L, "_cache", {}).get("inv")
+        if inv is not None and y.ndim == inv.ndim:
+            return jnp.matmul(
+                jnp.swapaxes(inv, -1, -2), y, preferred_element_type=y.dtype
+            )
         return jax.scipy.linalg.solve_triangular(L.mat, y, lower=True, trans="T")
     # Structured factor (e.g. Kronecker of triangulars): recurse.
     return solve(transpose(L), solve(L, b))

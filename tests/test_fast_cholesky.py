@@ -93,3 +93,27 @@ def test_cholesky_impl_policy():
     np.testing.assert_allclose(L_fast, L_xla, rtol=1e-8, atol=1e-10)
     with pytest.raises(ValueError):
         config.set_cholesky_impl("nope")
+
+
+def test_fast_policy_solve_via_carried_inverse():
+    """Under the "fast" policy the factor carries inv(L); solve/iqf must use
+    it (GEMMs) and agree with the sequential-substitution path."""
+    import stheno_tpu.matrix as M
+    from stheno_tpu import config
+
+    A = _spd(600, seed=13)
+    b = jnp.asarray(np.random.RandomState(1).randn(600, 2))
+    try:
+        config.set_cholesky_impl("fast")
+        Af = M.Dense(A)
+        L = M.cholesky(Af)
+        assert L._cache.get("inv") is not None
+        x_fast = np.asarray(M.solve(Af, b))
+        iqf_fast = np.asarray(M.dense(M.iqf(M.Dense(A), b)))
+    finally:
+        config.set_cholesky_impl("auto")
+    x_ref = np.linalg.solve(np.asarray(A) + 1e-12 * np.eye(600), np.asarray(b))
+    np.testing.assert_allclose(x_fast, x_ref, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        iqf_fast, np.asarray(b).T @ x_ref, rtol=1e-6, atol=1e-8
+    )
