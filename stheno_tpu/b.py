@@ -144,6 +144,52 @@ class _BNamespace(types.ModuleType):
         a, b = _uprank(jnp.asarray(a)), _uprank(jnp.asarray(b))
         return a @ jnp.swapaxes(b, -1, -2)
 
+    # -- distances (LAB's pairwise/elementwise ops, the building blocks of
+    # mlkernels-style user kernels) ------------------------------------------
+    @staticmethod
+    def pw_dists2(x, y=None):
+        from .kernels.kernel import pw_dists2
+
+        x = _uprank(jnp.asarray(x))
+        y = x if y is None else _uprank(jnp.asarray(y))
+        return pw_dists2(x, y)
+
+    @staticmethod
+    def pw_dists(x, y=None):
+        return jnp.sqrt(jnp.maximum(_BNamespace.pw_dists2(x, y), 1e-30))
+
+    @staticmethod
+    def ew_dists2(x, y):
+        from .kernels.kernel import ew_dists2
+
+        return ew_dists2(_uprank(jnp.asarray(x)), _uprank(jnp.asarray(y)))
+
+    @staticmethod
+    def ew_dists(x, y):
+        return jnp.sqrt(jnp.maximum(_BNamespace.ew_dists2(x, y), 1e-30))
+
+    @staticmethod
+    def pw_sums2(x, y=None):
+        from .kernels.kernel import pw_sums2
+
+        x = _uprank(jnp.asarray(x))
+        y = x if y is None else _uprank(jnp.asarray(y))
+        return pw_sums2(x, y)
+
+    @staticmethod
+    def pw_sums(x, y=None):
+        return jnp.sqrt(jnp.maximum(_BNamespace.pw_sums2(x, y), 1e-30))
+
+    @staticmethod
+    def ew_sums2(x, y):
+        from .kernels.kernel import ew_sums2
+
+        return ew_sums2(_uprank(jnp.asarray(x)), _uprank(jnp.asarray(y)))
+
+    @staticmethod
+    def ew_sums(x, y):
+        return jnp.sqrt(jnp.maximum(_BNamespace.ew_sums2(x, y), 1e-30))
+
     maximum = staticmethod(jnp.maximum)
     sqrt = staticmethod(jnp.sqrt)
     exp = staticmethod(jnp.exp)
@@ -289,6 +335,18 @@ class _BNamespace(types.ModuleType):
         package's ``B.sample`` (Cholesky times standard normals)."""
         state, sub = jax.random.split(state)
         return state, _ops.sample(sub, var, num)
+
+    # -- fallback -------------------------------------------------------------
+    def __getattr__(self, name):
+        # LAB proxies the full numpy namespace; anything not explicitly
+        # shimmed above falls back to ``jax.numpy`` (B.sin, B.abs, B.mean,
+        # B.where, ...) so generic reference user code ports unchanged.
+        if not name.startswith("_"):
+            try:
+                return getattr(jnp, name)
+            except AttributeError:
+                pass
+        raise AttributeError(f"B namespace has no op {name!r}.")
 
 
 def _install():

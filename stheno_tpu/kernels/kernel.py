@@ -46,6 +46,9 @@ __all__ = [
     "Matern52",
     "Linear",
     "Delta",
+    "FixedDelta",
+    "DecayingKernel",
+    "LogKernel",
     "TensorProductKernel",
     "SumKernel",
     "ProductKernel",
@@ -58,6 +61,8 @@ __all__ = [
     "DerivativeKernel",
     "pw_dists2",
     "ew_dists2",
+    "pw_sums2",
+    "ew_sums2",
 ]
 
 
@@ -88,6 +93,22 @@ def ew_dists2(x, y):
         return jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
     d = x - y
     return jnp.sum(d * d, axis=-1, keepdims=True)
+
+
+def pw_sums2(x, y):
+    """Pairwise squared norms of sums ``||x_i + y_j||^2`` with shape
+    ``(..., n, m)``, via the matmul identity (same MXU mapping as
+    :func:`pw_dists2` but with ``+2 x·y``)."""
+    xn = jnp.sum(x * x, axis=-1)
+    yn = jnp.sum(y * y, axis=-1)
+    inner = jnp.matmul(x, jnp.swapaxes(y, -1, -2))
+    return jnp.maximum(xn[..., :, None] + yn[..., None, :] + 2 * inner, 0)
+
+
+def ew_sums2(x, y):
+    """Elementwise squared norms of sums ``(..., n, 1)``."""
+    s = x + y
+    return jnp.sum(s * s, axis=-1, keepdims=True)
 
 
 def _safe_sqrt(d2):
@@ -547,6 +568,123 @@ class Delta(Kernel):
 
     def __eq__(self, other):
         return isinstance(other, Delta) and _param_eq(self.epsilon, other.epsilon)
+
+    __hash__ = Kernel.__hash__
+
+
+class FixedDelta(Kernel):
+    """Kronecker-delta kernel with *fixed* per-point noises. The Gram is
+    ``Diagonal(noises)`` exactly when both arguments are the same object with
+    ``len(noises)`` points, and zero otherwise. Part of the ``mlkernels``
+    surface the reference re-exports (``/root/reference/stheno/__init__.py:7``)."""
+
+    def __init__(self, noises):
+        self.noises = jnp.asarray(noises)
+
+    def _pairwise(self, x, y):
+        n, m = x.shape[-2], y.shape[-2]
+        if x is y and n == self.noises.shape[-1]:
+            return Diagonal(
+                jnp.broadcast_to(
+                    self.noises.astype(x.dtype), x.shape[:-2] + (n,)
+                )
+            )
+        return Zero(x.dtype, n, m)
+
+    def _elwise(self, x, y):
+        n = x.shape[-2]
+        if x is y and n == self.noises.shape[-1]:
+            return jnp.broadcast_to(
+                self.noises.astype(x.dtype)[..., None], x.shape[:-1] + (1,)
+            )
+        return jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return f"FixedDelta({formatter(self.noises)})"
+
+    def __eq__(self, other):
+        return isinstance(other, FixedDelta) and _param_eq(
+            self.noises, other.noises
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class DecayingKernel(Kernel):
+    """Decaying kernel ``k(x, y) = ||beta||^alpha / ||x + y + beta||^alpha``
+    (compare the reference's mlkernels surface; models exponential decay
+    under a beta-prior rate)."""
+
+    def __init__(self, alpha, beta):
+        self.alpha = alpha
+        self.beta = beta
+
+    def _beta_raised(self, dtype):
+        beta = jnp.asarray(self.beta, dtype)
+        bn2 = jnp.maximum(jnp.sum(beta * beta), jnp.asarray(1e-30, dtype))
+        return bn2 ** (jnp.asarray(self.alpha, dtype) / 2)
+
+    def _pairwise(self, x, y):
+        alpha = jnp.asarray(self.alpha, x.dtype)
+        beta = jnp.broadcast_to(jnp.asarray(self.beta, x.dtype), x.shape[-1:])
+        s = pw_sums2(x + beta, y) ** (alpha / 2)
+        return Dense(self._beta_raised(x.dtype) / s)
+
+    def _elwise(self, x, y):
+        alpha = jnp.asarray(self.alpha, x.dtype)
+        beta = jnp.broadcast_to(jnp.asarray(self.beta, x.dtype), x.shape[-1:])
+        s = ew_sums2(x + beta, y) ** (alpha / 2)
+        return self._beta_raised(x.dtype) / s
+
+    def _scalar(self, x, y):
+        alpha = jnp.asarray(self.alpha, x.dtype)
+        beta = jnp.broadcast_to(jnp.asarray(self.beta, x.dtype), x.shape[-1:])
+        s = x + y + beta
+        return self._beta_raised(x.dtype) / jnp.sum(s * s) ** (alpha / 2)
+
+    def _render(self, formatter):
+        return f"DecayingKernel({formatter(self.alpha)}, {formatter(self.beta)})"
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, DecayingKernel)
+            and _param_eq(self.alpha, other.alpha)
+            and _param_eq(self.beta, other.beta)
+        )
+
+    __hash__ = Kernel.__hash__
+
+
+class LogKernel(Kernel):
+    """Logarithmic kernel ``k(x, y) = log(1 + ||x - y||) / ||x - y||``
+    (→ 1 as ``x → y``; part of the re-exported mlkernels surface)."""
+
+    def _pairwise(self, x, y):
+        d = jnp.maximum(_safe_sqrt(pw_dists2(x, y)), 1e-10)
+        return Dense(jnp.log1p(d) / d)
+
+    def _elwise(self, x, y):
+        d = jnp.maximum(_safe_sqrt(ew_dists2(x, y)), 1e-10)
+        return jnp.log1p(d) / d
+
+    def _scalar(self, x, y):
+        diff = x - y
+        d = jnp.maximum(_safe_sqrt(jnp.sum(diff * diff)), 1e-10)
+        return jnp.log1p(d) / d
+
+    @property
+    def stationary(self):
+        return True
+
+    def _render(self, formatter):
+        return "LogKernel()"
+
+    def __eq__(self, other):
+        return isinstance(other, LogKernel)
 
     __hash__ = Kernel.__hash__
 

@@ -11,9 +11,12 @@ import stheno_tpu.matrix as M
 from stheno_tpu.kernels import (
     EQ,
     RQ,
+    DecayingKernel,
     Delta,
     Exp,
+    FixedDelta,
     Linear,
+    LogKernel,
     Matern32,
     Matern52,
     OneKernel,
@@ -66,6 +69,16 @@ KERNEL_CASES = [
     (Linear(), lambda xi, yj: np.dot(xi, yj)),
     (OneKernel(), lambda xi, yj: 1.0),
     (ZeroKernel(), lambda xi, yj: 0.0),
+    (
+        LogKernel(),
+        lambda xi, yj: np.log1p(max(np.linalg.norm(xi - yj), 1e-10))
+        / max(np.linalg.norm(xi - yj), 1e-10),
+    ),
+    (
+        DecayingKernel(1.5, np.array([0.5, 1.0])),
+        lambda xi, yj: np.linalg.norm([0.5, 1.0]) ** 1.5
+        / np.linalg.norm(xi + yj + np.array([0.5, 1.0])) ** 1.5,
+    ),
 ]
 
 
@@ -124,6 +137,45 @@ def test_algebra_sugar():
     assert EQ() * OneKernel() == EQ()
     assert 1 * EQ() == EQ()
     assert 0 + EQ() == EQ()
+
+
+def test_fixed_delta():
+    x, y = _x(5, 2, 0), _x(4, 2, 1)
+    noises = jnp.asarray(np.random.RandomState(3).rand(5))
+    k = FixedDelta(noises)
+    # Same object with matching size: Diagonal(noises).
+    g = pairwise(k, x)
+    assert isinstance(g, M.Diagonal)
+    approx(g, np.diag(np.asarray(noises)), rtol=1e-8)
+    approx(elwise(k, x, x), np.asarray(noises)[:, None], rtol=1e-8)
+    # Different object or mismatched size: zero.
+    assert isinstance(pairwise(k, x, y), M.Zero)
+    assert isinstance(pairwise(k, y), M.Zero)
+    x2 = jnp.array(x)
+    assert isinstance(pairwise(k, x, x2), M.Zero)
+    approx(elwise(k, x, x2), np.zeros((5, 1)), rtol=1e-8)
+    assert k.stationary
+    assert FixedDelta(noises) == FixedDelta(noises)
+    assert FixedDelta(noises) != FixedDelta(noises + 1)
+    assert "FixedDelta" in str(k)
+
+
+def test_new_kernel_flags():
+    assert LogKernel().stationary
+    assert not DecayingKernel(1.0, 1.0).stationary
+    assert LogKernel() == LogKernel()
+    assert DecayingKernel(1.0, 2.0) == DecayingKernel(1.0, 2.0)
+    assert DecayingKernel(1.0, 2.0) != DecayingKernel(1.0, 3.0)
+    assert str(LogKernel()) == "LogKernel()"
+    assert "DecayingKernel" in str(DecayingKernel(1.0, 2.0))
+    # Scalar path (autodiff derivative kernels) agrees with elwise.
+    x1, y1 = _x(1, 2, 5), _x(1, 2, 6)
+    for k in (LogKernel(), DecayingKernel(1.5, np.array([0.5, 1.0]))):
+        approx(
+            k._scalar(x1[0], y1[0]),
+            elwise(k, x1, y1)[0, 0],
+            rtol=1e-7,
+        )
 
 
 def test_equality():

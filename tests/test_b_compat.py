@@ -170,3 +170,37 @@ def test_drives_the_model_dsl_like_the_reference_readme():
     mean, var = post(x).marginals()
     assert B.shape(mean, 0) == 30
     assert bool(B.all(var > 0))
+
+
+def test_distance_ops():
+    rs = np.random.RandomState(0)
+    x, y = rs.randn(5, 2), rs.randn(4, 2)
+    d2 = np.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(B.pw_dists2(x, y)), d2, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(B.pw_dists(x, y)), np.sqrt(d2), atol=1e-10
+    )
+    s2 = np.sum((x[:, None, :] + y[None, :, :]) ** 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(B.pw_sums2(x, y)), s2, atol=1e-10)
+    xe, ye = rs.randn(5, 2), rs.randn(5, 2)
+    np.testing.assert_allclose(
+        np.asarray(B.ew_dists2(xe, ye)),
+        np.sum((xe - ye) ** 2, axis=-1, keepdims=True),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(B.ew_sums(xe, ye)),
+        np.linalg.norm(xe + ye, axis=-1, keepdims=True),
+        atol=1e-10,
+    )
+    # Rank-1 inputs uprank like LAB.
+    assert B.pw_dists2(np.arange(3.0)).shape == (3, 3)
+
+
+def test_jnp_fallback():
+    # Any op not explicitly shimmed falls back to jax.numpy.
+    np.testing.assert_allclose(float(B.sin(0.0)), 0.0)
+    np.testing.assert_allclose(np.asarray(B.abs(jnp.asarray([-1.0, 2.0]))), [1.0, 2.0])
+    assert B.where is jnp.where
+    with pytest.raises(AttributeError):
+        B.definitely_not_an_op
