@@ -209,6 +209,8 @@ class Kernel:
             return ProductKernel(self, TensorProductKernel(other))
         if _param_eq(other, 1):
             return self
+        if _param_eq(other, 0):
+            return ZeroKernel()
         if isinstance(self, ZeroKernel):
             return self
         return ScaledKernel(self, other)

@@ -76,6 +76,8 @@ class Mean:
             return self
         if _param_eq(other, 1):
             return self
+        if _param_eq(other, 0):
+            return ZeroMean()
         return ScaledMean(self, other)
 
     def __rmul__(self, other):

@@ -13,6 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..dist import Random
 from ..dist.normal import _is_key
 from ..kernels import TensorProductKernel, ZeroKernel
 from ..kernels.kernel import Kernel
@@ -168,6 +169,13 @@ class Measure:
         if not isinstance(obj1, GP):
             obj1, obj2 = obj2, obj1
         p, other = obj1, obj2
+        if isinstance(other, Random):
+            # Mirrors the reference's dispatch miss: a GP can only be summed
+            # with numbers, functions, or GPs of the same measure
+            # (reference ``tests/model/test_gp.py:119-123``).
+            raise TypeError(
+                f"Cannot add a GP and a {type(other).__name__}."
+            )
         return self._update(
             p_sum,
             self.means[p] + other,
@@ -198,6 +206,10 @@ class Measure:
         if not isinstance(obj1, GP):
             obj1, obj2 = obj2, obj1
         p, other = obj1, obj2
+        if isinstance(other, Random):
+            raise TypeError(
+                f"Cannot multiply a GP and a {type(other).__name__}."
+            )
         if callable(other) and not isinstance(other, (Kernel, Mean)):
             f = other
             return self._update(

@@ -10,7 +10,116 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stheno_tpu import EQ, GP, Linear, Measure
+from stheno_tpu import (
+    EQ,
+    GP,
+    Linear,
+    Measure,
+    Normal,
+    OneKernel,
+    OneMean,
+    ScaledKernel,
+    ScaledMean,
+    TensorProductMean,
+    ZeroKernel,
+    ZeroMean,
+)
+
+
+def test_corner_cases():
+    # Mirrors reference ``tests/model/test_gp.py:24-43``.
+    p1 = GP(EQ())
+    p2 = GP(EQ())
+    x = jnp.linspace(0, 1, 5)
+    with pytest.raises(AssertionError):
+        p1 + p2
+    with pytest.raises(AssertionError):
+        p1 * p2
+    with pytest.raises(TypeError):
+        p1 + p1(x)
+    with pytest.raises(TypeError):
+        p1 * p1(x)
+    with pytest.raises((TypeError, NotImplementedError)):
+        p1 + Normal(jnp.eye(3))
+    with pytest.raises((TypeError, NotImplementedError)):
+        Normal(jnp.eye(3)) + p1
+    with pytest.raises((TypeError, NotImplementedError)):
+        p1 * Normal(jnp.eye(3))
+    with pytest.raises(RuntimeError):
+        GP().measure
+
+
+def test_display_formatter():
+    # Reference ``tests/model/test_gp.py:52-54``.
+    p = 2 * GP(1, EQ(), measure=Measure())
+    assert str(p.display(lambda x: x**2)) == "GP(4 * 1, 16 * EQ())"
+
+
+def test_mean_kernel_resolution():
+    # Reference ``tests/model/test_gp.py:70-82``: numbers/functions promote
+    # to the right mean/kernel objects, with 0/1 simplified.
+    k = EQ()
+    m = TensorProductMean(lambda x: x**2)
+    assert isinstance(GP(k).mean, ZeroMean)
+    assert isinstance(GP(5, k).mean, ScaledMean)
+    assert isinstance(GP(1, k).mean, OneMean)
+    assert isinstance(GP(0, k).mean, ZeroMean)
+    assert isinstance(GP(m, k).mean, TensorProductMean)
+    assert isinstance(GP(k).kernel, EQ)
+    assert isinstance(GP(5).kernel, ScaledKernel)
+    assert isinstance(GP(1).kernel, OneKernel)
+    assert isinstance(GP(0).kernel, ZeroKernel)
+
+
+def test_marginals_concentration_and_reversion():
+    # Reference ``tests/model/test_gp.py:177-198``.
+    p = GP(lambda x: jnp.asarray(x) ** 2, EQ())
+    x = jnp.linspace(0, 5, 10)
+    mean, var = p(x).marginals()
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(p.mean(x))[:, 0], rtol=1e-6
+    )
+    key = jax.random.PRNGKey(0)
+    key, y = p.measure.sample(key, p(x))
+    post = p.measure | (p(x), y)
+    # Concentration on data.
+    mean, var = post(p)(x).marginals()
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(y)[:, 0], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), 0.0, atol=1e-4)
+    # Reversion to the prior far away.
+    mean, var = post(p)(x + 100).marginals()
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(p.mean(x + 100))[:, 0], rtol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(var), 1.0, rtol=1e-4)
+
+
+def test_measure_sum_mul_escape_hatch():
+    # Reference ``tests/model/test_gp.py:95-148``: ``measure.sum(GP(), ...)``
+    # and ``measure.mul(GP(), ...)`` accept either argument order.
+    p = GP(lambda x: jnp.asarray(x) ** 2, EQ())
+    m = p.measure
+    x = jnp.linspace(0, 3, 5)
+    five = lambda y: 5 * jnp.ones(jnp.asarray(y).shape[:1] + (1,))
+    for p_sum in [p + 5.0, 5.0 + p, m.sum(GP(), p, 5.0), m.sum(GP(), 5.0, p),
+                  p + five, five + p, m.sum(GP(), p, five), m.sum(GP(), five, p)]:
+        np.testing.assert_allclose(
+            np.asarray(p.mean(x)) + 5.0, np.asarray(p_sum.mean(x)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(p.kernel(x).dense()),
+            np.asarray(p_sum.kernel(x).dense()),
+            rtol=1e-6,
+        )
+    for p_mul in [p * 5.0, 5.0 * p, m.mul(GP(), p, 5.0), m.mul(GP(), 5.0, p)]:
+        np.testing.assert_allclose(
+            5.0 * np.asarray(p.mean(x)), np.asarray(p_mul.mean(x)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            25.0 * np.asarray(p.kernel(x).dense()),
+            np.asarray(p_mul.kernel(x).dense()),
+            rtol=1e-6,
+        )
 
 
 def test_gp_properties():
