@@ -241,3 +241,123 @@ def test_distributed_nlml_deterministic(mesh):
     assert float(v1) == float(v2)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert float(a) == float(b)
+
+
+@pytest.mark.parametrize("method", ["vfe", "fitc", "dtc"])
+def test_dist_elbo_parity(mesh, method):
+    """Distributed sparse ELBO == DSL PseudoObs{,FITC,DTC} ELBO."""
+    from stheno_tpu import PseudoObs, PseudoObsDTC, PseudoObsFITC
+    from stheno_tpu.parallel import dist_elbo
+
+    n, m = 64, 9
+    x = jnp.linspace(0, 10, n)
+    y = jnp.sin(x) + 0.1 * jnp.cos(5 * x)
+    z = jnp.linspace(0, 10, m)
+    noise = 0.05 + 0.02 * jnp.cos(x) ** 2  # heteroscedastic diagonal
+
+    k = 1.3 * EQ().stretch(0.7)
+    elbo_d = float(
+        dist_elbo(k, z[:, None], x[:, None], y, noise, mesh, method=method)
+    )
+
+    f = GP(k)
+    cls = {"vfe": PseudoObs, "fitc": PseudoObsFITC, "dtc": PseudoObsDTC}[method]
+    obs = cls(f(z), (f(x, noise), y))
+    elbo_r = float(f.measure.logpdf(obs))
+    np.testing.assert_allclose(elbo_d, elbo_r, rtol=1e-8)
+
+
+def test_dist_elbo_grad_parity(mesh):
+    """jax.grad through the distributed ELBO matches the DSL path."""
+    from stheno_tpu import PseudoObs
+    from stheno_tpu.parallel import dist_elbo
+
+    n, m = 48, 7
+    x = jnp.linspace(0, 10, n)
+    y = jnp.sin(x)
+    z = jnp.linspace(0, 10, m)
+
+    def elbo_dist(log_ell):
+        k = EQ().stretch(jnp.exp(log_ell))
+        return dist_elbo(k, z[:, None], x[:, None], y, 0.1, mesh)
+
+    def elbo_ref(log_ell):
+        f = GP(EQ().stretch(jnp.exp(log_ell)))
+        return f.measure.logpdf(PseudoObs(f(z), (f(x, 0.1), y)))
+
+    p = jnp.asarray(0.2)
+    np.testing.assert_allclose(
+        float(elbo_dist(p)), float(elbo_ref(p)), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(jax.grad(elbo_dist)(p)), float(jax.grad(elbo_ref)(p)), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("method", ["vfe", "fitc", "dtc"])
+def test_dist_sparse_posterior_parity(mesh, method):
+    """Distributed sparse predictive == DSL pseudo-posterior marginals."""
+    from stheno_tpu import PseudoObs, PseudoObsDTC, PseudoObsFITC
+    from stheno_tpu.parallel import dist_sparse_posterior
+
+    n, m, s = 64, 9, 17
+    x = jnp.linspace(0, 10, n)
+    y = jnp.sin(x)
+    z = jnp.linspace(0, 10, m)
+    x_new = jnp.linspace(-1, 11, s)
+
+    k = EQ().stretch(0.8)
+    mean_d, var_d = dist_sparse_posterior(
+        k, z[:, None], x[:, None], y, 0.1, x_new[:, None], mesh, method=method
+    )
+
+    f = GP(k)
+    cls = {"vfe": PseudoObs, "fitc": PseudoObsFITC, "dtc": PseudoObsDTC}[method]
+    post = f | cls(f(z), (f(x, 0.1), y))
+    mean_r, var_r = post(x_new).marginals()
+    np.testing.assert_allclose(
+        np.asarray(mean_d), np.asarray(mean_r), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_d), np.asarray(var_r), rtol=1e-5, atol=1e-9
+    )
+
+
+def test_dist_elbo_jit_sharded(mesh):
+    """The whole ELBO+grad step compiles and runs jitted over the mesh."""
+    from stheno_tpu.parallel import dist_elbo
+
+    n, m = 64, 8
+    x = jnp.linspace(0, 10, n)[:, None]
+    y = jnp.sin(x[:, 0])
+    z = jnp.linspace(0, 10, m)[:, None]
+
+    @jax.jit
+    def step(params):
+        k = jnp.exp(params["log_s2"]) * EQ().stretch(jnp.exp(params["log_ell"]))
+        return -dist_elbo(k, z, x, y, jnp.exp(params["log_noise"]), mesh)
+
+    params = {
+        "log_ell": jnp.asarray(0.0),
+        "log_s2": jnp.asarray(0.0),
+        "log_noise": jnp.asarray(-2.0),
+    }
+    val, grads = jax.value_and_grad(step)(params)
+    assert jnp.isfinite(val)
+    assert all(jnp.isfinite(g) for g in jax.tree.leaves(grads))
+
+
+def test_dist_elbo_n_not_divisible(mesh):
+    """N not divisible by the mesh size: masked padding keeps exact parity."""
+    from stheno_tpu import PseudoObs
+    from stheno_tpu.parallel import dist_elbo
+
+    n, m = 53, 7  # 53 % 8 != 0
+    x = jnp.linspace(0, 10, n)
+    y = jnp.sin(x)
+    z = jnp.linspace(0, 10, m)
+    k = EQ().stretch(0.8)
+    e = float(dist_elbo(k, z[:, None], x[:, None], y, 0.1, mesh))
+    f = GP(k)
+    e_ref = float(f.measure.logpdf(PseudoObs(f(z), (f(x, 0.1), y))))
+    np.testing.assert_allclose(e, e_ref, rtol=1e-8)
