@@ -231,14 +231,25 @@ class Normal(RandomVector):
 
     # -- densities --------------------------------------------------------
 
-    def logpdf(self, x):
+    def logpdf(self, x, mask=None):
         """Log-density of ``x`` (a column; extra trailing columns are treated
-        as a batch of inputs, like the reference)."""
+        as a batch of inputs, like the reference).
+
+        ``mask`` (optional, boolean ``(n,)``): jit-safe missing-data
+        handling — rows where ``mask`` is False are marginalised out, with
+        static shapes throughout, so this works on traced inputs and on TPU.
+        (The reference can only drop NaN rows host-side on concrete arrays,
+        ``random.py:261-270``, and refuses batched missing data; the masked
+        form here supports both.) Equivalent to ``logpdf`` of the
+        sub-distribution over the observed rows."""
         x = jnp.asarray(x)
         if x.ndim == 0:
             x = x[None, None]
         elif x.ndim == 1:
             x = x[:, None]
+
+        if mask is not None:
+            return self._masked_logpdf(x, mask)
 
         # NaN-masked missing data: eager (concrete) inputs only, single
         # column, like the reference (`random.py:261-270`).
@@ -260,6 +271,32 @@ class Normal(RandomVector):
             logdet(self.var)[..., None]
             + self.dim * _LOG_2_PI
             + iqf_diag(self.var, resid)
+        )
+        return logpdfs[..., 0] if logpdfs.shape[-1] == 1 else logpdfs
+
+    def _masked_logpdf(self, x, mask):
+        """Marginalise out rows where ``mask`` is False without changing any
+        shape: zero the masked rows/columns of the covariance, put ones on
+        their diagonal (so they contribute ``log 1 = 0`` to the logdet and
+        nothing to the quadratic form), and zero the masked residuals."""
+        var = self.var
+        dtype = x.dtype
+        m = jnp.asarray(mask).astype(dtype)
+        mean = self.mean
+        mean = jnp.asarray(dense(mean)) if is_structured(mean) else jnp.asarray(mean)
+        resid = m[:, None] * jnp.nan_to_num(x - mean)
+        if isinstance(var, Diagonal):
+            masked = Diagonal(m * var.diag + (1.0 - m))
+        else:
+            K = jnp.asarray(dense(var))
+            masked = as_matrix(
+                m[:, None] * m[None, :] * K + jnp.diag(1.0 - m)
+            )
+        n_obs = jnp.sum(m)
+        logpdfs = -0.5 * (
+            logdet(masked)[..., None]
+            + n_obs * _LOG_2_PI
+            + iqf_diag(masked, resid)
         )
         return logpdfs[..., 0] if logpdfs.shape[-1] == 1 else logpdfs
 

@@ -206,3 +206,73 @@ def test_jit_logpdf():
 
     x = jnp.asarray(np.random.RandomState(3).randn(4, 1))
     approx(f(x), Normal(mean, var).logpdf(x), rtol=1e-10)
+
+
+def test_masked_logpdf_matches_row_dropping():
+    """The jit-safe masked logpdf == drop-rows logpdf (which the reference
+    can only do host-side on concrete arrays)."""
+    mean, var = _case()
+    dist = Normal(mean, var)
+    x = np.random.RandomState(3).randn(4, 1)
+    keep = [0, 2, 3]
+    mask = jnp.asarray([True, False, True, True])
+    ref = multivariate_normal.logpdf(
+        x[keep, 0],
+        np.asarray(mean)[keep, 0],
+        np.asarray(M.dense(var))[np.ix_(keep, keep)],
+    )
+    approx(dist.logpdf(jnp.asarray(x), mask=mask), ref, rtol=1e-8)
+    # Under jit, with NaNs in the masked slots (poison-proof).
+    x_nan = x.copy()
+    x_nan[1, 0] = np.nan
+    val = jax.jit(lambda xx: dist.logpdf(xx, mask=mask))(jnp.asarray(x_nan))
+    approx(val, ref, rtol=1e-8)
+
+
+def test_masked_logpdf_batched():
+    """Batched missing data — explicitly unsupported by the reference
+    (`random.py:261-262`); the masked form handles it."""
+    mean, var = _case()
+    dist = Normal(mean, var)
+    xs = np.random.RandomState(4).randn(4, 3)
+    mask = jnp.asarray([True, True, False, True])
+    keep = [0, 1, 3]
+    refs = [
+        multivariate_normal.logpdf(
+            xs[keep, i],
+            np.asarray(mean)[keep, 0],
+            np.asarray(M.dense(var))[np.ix_(keep, keep)],
+        )
+        for i in range(3)
+    ]
+    approx(dist.logpdf(jnp.asarray(xs), mask=mask), np.asarray(refs), rtol=1e-8)
+
+
+def test_masked_logpdf_diagonal_var_and_grad():
+    d = jnp.asarray([1.0, 2.0, 3.0])
+    dist = Normal(M.Diagonal(d))
+    x = jnp.asarray([0.3, np.nan, -0.2])[:, None]
+    mask = jnp.asarray([True, False, True])
+    ref = multivariate_normal.logpdf(
+        np.asarray([0.3, -0.2]), np.zeros(2), np.diag([1.0, 3.0])
+    )
+    approx(dist.logpdf(x, mask=mask), ref, rtol=1e-8)
+
+    # Gradient w.r.t. observed entries is finite and NaN-free.
+    g = jax.grad(lambda xx: dist.logpdf(xx, mask=mask))(jnp.nan_to_num(x))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_masked_logpdf_via_fdd():
+    """FDD inherits the masked path: GP logpdf with traced missing data."""
+    from stheno_tpu import EQ, GP
+
+    f = GP(EQ())
+    x = jnp.linspace(0, 5, 6)
+    y = jnp.sin(x)
+    mask = jnp.asarray([True, True, False, True, False, True])
+
+    val_masked = jax.jit(lambda yy: f(x, 0.1).logpdf(yy, mask=mask))(y)
+    keep = np.flatnonzero(np.asarray(mask))
+    val_ref = f(x[keep], 0.1).logpdf(y[keep])
+    approx(val_masked, val_ref, rtol=1e-8)
