@@ -9,7 +9,15 @@ default suited to single precision.
 
 import jax.numpy as jnp
 
-__all__ = ["epsilon", "jitter", "set_epsilon", "cholesky_impl", "set_cholesky_impl"]
+__all__ = [
+    "epsilon",
+    "jitter",
+    "set_epsilon",
+    "cholesky_impl",
+    "set_cholesky_impl",
+    "adaptive_jitter",
+    "set_adaptive_jitter",
+]
 
 #: Global jitter override. ``None`` means "dtype-aware default".
 epsilon = None
@@ -25,6 +33,21 @@ def set_epsilon(value):
     """Set the global Cholesky jitter. ``None`` restores dtype-aware defaults."""
     global epsilon
     epsilon = value
+
+
+#: Escalating-jitter Cholesky: when True, dense factorisations probe a
+#: ``stop_gradient`` copy and multiply the jitter by 10 until the factor is
+#: finite (jit-safe ``lax.while_loop``). Off by default — the reference's
+#: semantics are a fixed ``B.epsilon`` with a documented manual bump-and-
+#: retry workflow; turn this on for float32/bfloat16 TPU runs where the
+#: required jitter tracks ``||K||`` and no fixed value fits all scales.
+adaptive_jitter = False
+
+
+def set_adaptive_jitter(value):
+    """Enable/disable the escalating-jitter dense Cholesky policy."""
+    global adaptive_jitter
+    adaptive_jitter = bool(value)
 
 
 #: Dense-Cholesky implementation policy: "auto" uses the GEMM-rich recursive

@@ -29,6 +29,7 @@ from .types import (
 )
 
 __all__ = [
+    "adaptive_jitter_eps",
     "as_matrix",
     "dense",
     "diag",
@@ -453,12 +454,35 @@ def _tracer_safe_cache(a, key, compute):
     return value
 
 
+def adaptive_jitter_eps(mat, base):
+    """Smallest jitter in ``{base * 10^k}`` under which ``chol(mat + eps I)``
+    is finite, found by probing a ``stop_gradient`` copy inside a
+    ``lax.while_loop`` (jit-safe; the result is piecewise-constant in
+    ``mat``, so detaching it is exact). In low precision the required jitter
+    scales with ``||mat||`` — rounding alone makes a rank-deficient Gram
+    indefinite by ~``||K|| * eps_dtype * sqrt(n)`` — so no fixed value works
+    across problem scales."""
+    n = mat.shape[-1]
+    eye = jnp.eye(n, dtype=mat.dtype)
+    sg = jax.lax.stop_gradient(mat)
+    base = jnp.asarray(base, mat.dtype)
+    cap = base * 1e12
+
+    def not_ok(e):
+        L = jnp.linalg.cholesky(sg + e * eye)
+        return ~jnp.all(jnp.isfinite(L)) & (e < cap)
+
+    return jax.lax.while_loop(not_ok, lambda e: e * 10.0, base)
+
+
 def _chol_dense(mat):
     """Jittered dense Cholesky. Returns ``(L, Linv_or_None)``: the fast path
     computes ``inv(L)`` as a byproduct (XLA prunes it when nothing uses it),
     which turns downstream triangular solves into GEMMs."""
     n = mat.shape[-1]
     eps = config.jitter(mat.dtype)
+    if config.adaptive_jitter:
+        eps = adaptive_jitter_eps(mat, eps)
     reg = eps * jnp.eye(n, dtype=mat.dtype)
     mat = mat + reg
     policy = config.cholesky_impl
@@ -513,7 +537,9 @@ def cholesky(a):
     # recovery workflow is "bump B.epsilon after a failed factorisation and
     # retry" (README_without_examples.md:811-822), which must not return a
     # factor computed under the old epsilon.
-    return _tracer_safe_cache(a, ("cholesky", config.epsilon), compute)
+    return _tracer_safe_cache(
+        a, ("cholesky", config.epsilon, config.adaptive_jitter), compute
+    )
 
 
 def _solve_triangular(tri, b, lower):

@@ -41,28 +41,16 @@ def _shard(a, mesh, axis, spec):
 
 
 def _chol(K):
-    """Cholesky with escalating jitter, jit-safe and differentiable.
+    """Cholesky with escalating jitter (always adaptive on this path: in
+    float32 on the MXU, rounding alone makes a rank-deficient inducing Gram
+    indefinite by ~||K|| * eps_f32 * sqrt(n) — measured lambda_min ~ -1.5e-4
+    for a 512-point EQ Gram with lambda_max ~ 123 — so no fixed absolute
+    jitter works across problem scales)."""
+    from ..matrix import adaptive_jitter_eps
 
-    In float32 on the MXU, rounding alone makes a rank-deficient inducing
-    Gram indefinite by ~||K|| * eps_f32 * sqrt(n) (measured: lambda_min
-    ~ -1.5e-4 for a 512-point EQ Gram with lambda_max ~ 123), so no fixed
-    absolute jitter works across scales. Probe Choleskys on a
-    ``stop_gradient`` copy escalate the jitter x10 until the factor is
-    finite (a ``lax.while_loop``; the selected jitter is piecewise-constant
-    in K, so detaching it is exact), then one differentiable Cholesky runs
-    at the selected jitter."""
     n = K.shape[-1]
-    eye = jnp.eye(n, dtype=K.dtype)
-    base = jnp.asarray(config.jitter(K.dtype), K.dtype)
-    Ksg = jax.lax.stop_gradient(K)
-    cap = base * 1e12
-
-    def not_ok(e):
-        L = jnp.linalg.cholesky(Ksg + e * eye)
-        return ~jnp.all(jnp.isfinite(L)) & (e < cap)
-
-    eps = jax.lax.while_loop(not_ok, lambda e: e * 10.0, base)
-    return jnp.linalg.cholesky(K + eps * eye)
+    eps = adaptive_jitter_eps(K, config.jitter(K.dtype))
+    return jnp.linalg.cholesky(K + eps * jnp.eye(n, dtype=K.dtype))
 
 
 def _solve_tri(L, b, lower=True):

@@ -272,3 +272,40 @@ def test_kronecker_solve_logdet_iqf():
     approx(M.dense(M.iqf(K, jnp.asarray(b))), b.T @ np.linalg.solve(dense_K, b), rtol=1e-7)
     L = M.cholesky(K)
     approx(M.dense(L) @ np.asarray(M.dense(L)).T, dense_K, rtol=1e-7)
+
+
+def test_adaptive_jitter_recovers_f32_indefinite_gram():
+    """An ill-conditioned f32 EQ Gram NaNs under the fixed dtype jitter;
+    `config.set_adaptive_jitter(True)` escalates until the factor is finite,
+    and on well-conditioned f64 input selects the base jitter (bit-identical
+    factor)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stheno_tpu import EQ, config
+    from stheno_tpu.kernels import pairwise
+    from stheno_tpu.matrix import adaptive_jitter_eps, cholesky, dense
+
+    z = jnp.linspace(0.0, 10.0, 512, dtype=jnp.float32)[:, None]
+    K = jnp.asarray(dense(pairwise(EQ(), z)))  # rank-deficient in f32
+
+    L_fixed = jnp.asarray(dense(cholesky(jnp.array(K))))
+    assert not bool(jnp.all(jnp.isfinite(L_fixed)))
+
+    config.set_adaptive_jitter(True)
+    try:
+        L = jnp.asarray(dense(cholesky(jnp.array(K))))
+        assert bool(jnp.all(jnp.isfinite(L)))
+        # Works under jit too (the probe is a lax.while_loop).
+        L_jit = jax.jit(lambda a: jnp.asarray(dense(cholesky(a))))(K)
+        assert bool(jnp.all(jnp.isfinite(L_jit)))
+    finally:
+        config.set_adaptive_jitter(False)
+
+    # Well-conditioned f64: the probe accepts the base jitter immediately.
+    r = np.random.RandomState(0)
+    a = r.randn(32, 32)
+    W = jnp.asarray(a @ a.T + 32 * np.eye(32))
+    eps = adaptive_jitter_eps(W, config.jitter(W.dtype))
+    np.testing.assert_allclose(float(eps), config.jitter(W.dtype), rtol=1e-12)
