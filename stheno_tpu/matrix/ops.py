@@ -489,10 +489,14 @@ def _chol_dense(mat):
     if policy == "auto":
         # XLA's cholesky lowers to a sequential panel loop; the recursive
         # GEMM formulation wins on accelerators once the GEMM work dominates
-        # the sequential base-case chain (measured crossover ~3072 on v5e,
-        # 1.8x at 8192, see ops/chol.py). On CPU (f64 LAPACK) the native
-        # kernel is better.
-        use_fast = jax.default_backend() != "cpu" and n >= 3072
+        # the sequential base-case chain (measured chol-only crossover ~3072
+        # on v5e, 1.8x at 8192, see ops/chol.py). End-to-end the carried
+        # inv(L) turns downstream solves into GEMMs, which pulls the NLML
+        # crossover down to ~700 (measured xla/fast ms per NLML call:
+        # 0.146/0.162 at n=512, 0.246/0.238 at 768, 0.339/0.320 at 1024,
+        # 0.785/0.750 at 2000). On CPU (f64 LAPACK) the native kernel is
+        # better.
+        use_fast = jax.default_backend() != "cpu" and n >= 768
     else:
         use_fast = policy == "fast"
     if use_fast and mat.ndim == 2:

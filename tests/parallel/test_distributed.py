@@ -361,3 +361,30 @@ def test_dist_elbo_n_not_divisible(mesh):
     f = GP(k)
     e_ref = float(f.measure.logpdf(PseudoObs(f(z), (f(x, 0.1), y))))
     np.testing.assert_allclose(e, e_ref, rtol=1e-8)
+
+
+def test_dist_nlml_multi_output(mesh):
+    """Output-block sharding (SURVEY §2.10's EP analogue): the generic
+    row-sharded Gram + distributed NLML compose with MultiOutputKernel —
+    the (P*N) x (P*N) block Gram's rows shard over the mesh, so each chip
+    owns a slice of output blocks."""
+    from stheno_tpu import Measure, MultiOutputKernel
+    from stheno_tpu.parallel import dist_nlml, sharded_gram
+
+    n = 32  # 2 outputs * 32 = 64 rows over 8 devices.
+    x = jnp.linspace(0, 10, n)
+    m = Measure()
+    f1 = GP(EQ(), measure=m)
+    f2 = GP(EQ().stretch(0.5), measure=m) + 0.3 * f1
+    mok = MultiOutputKernel(m, f1, f2)
+
+    y1 = jnp.sin(x)
+    y2 = jnp.cos(x)
+    y = jnp.concatenate([y1, y2])
+
+    K = sharded_gram(mok, x, mesh, noise=0.1)
+    assert K.shape == (2 * n, 2 * n)
+    val_d = float(dist_nlml(K, y, mesh, block=8))
+
+    val_r = float(-m.logpdf((f1(x, 0.1), y1), (f2(x, 0.1), y2)))
+    np.testing.assert_allclose(val_d, val_r, rtol=1e-7)
