@@ -97,11 +97,8 @@ def _dist_cholesky_shard(K_local, *, axis, block):
     return jnp.where(cols_all <= grows[:, None], A, 0.0)
 
 
-def dist_cholesky(K, mesh, axis="data", block=256):
-    """Lower Cholesky factor of a row-block-sharded PSD matrix ``K``.
-
-    ``K`` must be ``(N, N)`` with ``N`` divisible by ``mesh.shape[axis] *
-    block``... (``block`` is clipped to ``N // D`` when larger)."""
+def _dist_cholesky_loop(K, mesh, axis, block):
+    """The right-looking panel loop (base case of the recursion)."""
     N = K.shape[-1]
     D = mesh.shape[axis]
     block = min(block, N // D)
@@ -116,6 +113,53 @@ def dist_cholesky(K, mesh, axis="data", block=256):
         out_specs=P(axis, None),
     )
     return fn(K)
+
+
+#: Below this size the recursion hands over to the panel loop: one level of
+#: halving only pays once the halves' GEMMs dominate the resharding.
+_REC_BASE = 2048
+
+
+def dist_cholesky(K, mesh, axis="data", block=256):
+    """Lower Cholesky factor of a row-block-sharded PSD matrix ``K``.
+
+    GEMM-rich divide-and-conquer (the distributed form of
+    ``ops/chol.py:cholesky_with_inv``'s recursion): factor the leading half,
+    panel-solve the lower-left half against it, Schur-update, recurse —
+    every O(N^3) term is a GSPMD-partitioned GEMM balanced over all devices
+    regardless of which global rows it touches (the resharding between
+    halves is XLA's all_to_all). This cuts the MAC count to ~2x the
+    sequential minimum, vs ~6x for the flat panel loop whose trailing
+    updates are full-width to keep static shapes; the loop remains the base
+    case below ``_REC_BASE``. ``K`` must be ``(N, N)`` with ``N`` divisible
+    by ``mesh.shape[axis] * block`` (``block`` is clipped to ``N // D`` when
+    larger)."""
+    N = K.shape[-1]
+    D = mesh.shape[axis]
+    h = N // 2
+    if N < _REC_BASE or h % D != 0 or h % 2 != 0:
+        return _dist_cholesky_loop(K, mesh, axis, block)
+
+    shard = NamedSharding(mesh, P(axis, None))
+
+    def reshard(a):
+        return jax.lax.with_sharding_constraint(a, shard)
+
+    A11 = reshard(K[:h, :h])
+    A12 = reshard(K[:h, h:])
+    A22 = reshard(K[h:, h:])
+
+    L11 = dist_cholesky(A11, mesh, axis=axis, block=block)
+    # L21 = A21 L11^{-T}: solve L11 Y = A12 (= A21^T), then L21 = Y^T.
+    Y = dist_solve_lower(L11, A12, mesh, axis=axis, block=block)
+    L21 = reshard(Y.T)
+    S = A22 - jnp.matmul(L21, Y, preferred_element_type=K.dtype)
+    L22 = dist_cholesky(reshard(S), mesh, axis=axis, block=block)
+
+    zeros = jnp.zeros((h, N - h), K.dtype)
+    top = jnp.concatenate([L11, zeros], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return reshard(jnp.concatenate([top, bot], axis=0))
 
 
 def _dist_solve_lower_shard(L_local, B_local, *, axis, block):

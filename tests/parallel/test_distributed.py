@@ -388,3 +388,39 @@ def test_dist_nlml_multi_output(mesh):
 
     val_r = float(-m.logpdf((f1(x, 0.1), y1), (f2(x, 0.1), y2)))
     np.testing.assert_allclose(val_d, val_r, rtol=1e-7)
+
+
+def test_dist_cholesky_recursive_parity(mesh, monkeypatch):
+    """The divide-and-conquer path (halve -> panel-solve -> Schur -> recurse)
+    matches the flat loop and numpy; exercised by lowering the recursion
+    threshold below N."""
+    import stheno_tpu.parallel.cholesky as pc
+
+    monkeypatch.setattr(pc, "_REC_BASE", 64)
+    K = _psd(256, 7)
+    L = pc.dist_cholesky(K, mesh, block=8)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
+    )
+
+    # The NLML custom VJP (which calls dist_cholesky in its forward) stays
+    # correct through the recursive path.
+    from stheno_tpu.parallel import dist_nlml, sharded_gram
+
+    x = jnp.linspace(0, 10, 128)
+    y = jnp.sin(x)
+
+    def nlml_dist(log_ell):
+        k = EQ().stretch(jnp.exp(log_ell))
+        K2 = sharded_gram(k, x[:, None], mesh, noise=0.1)
+        return dist_nlml(K2, y, mesh, block=8)
+
+    def nlml_ref(log_ell):
+        f2 = GP(EQ().stretch(jnp.exp(log_ell)))
+        return -f2.measure.logpdf(f2(x, 0.1), y)
+
+    p = jnp.asarray(0.3)
+    np.testing.assert_allclose(float(nlml_dist(p)), float(nlml_ref(p)), rtol=1e-7)
+    np.testing.assert_allclose(
+        float(jax.grad(nlml_dist)(p)), float(jax.grad(nlml_ref)(p)), rtol=1e-5
+    )
