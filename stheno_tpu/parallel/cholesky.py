@@ -207,8 +207,8 @@ def _dist_solve_lower_shard(L_local, B_local, *, axis, block):
     return X_local
 
 
-def dist_solve_lower(L, B, mesh, axis="data", block=256):
-    """Solve ``L X = B`` with ``L`` lower-triangular, both row-block sharded."""
+def _dist_solve_lower_loop(L, B, mesh, axis, block):
+    """The blocked forward-substitution loop (base case of the recursion)."""
     N = L.shape[-1]
     D = mesh.shape[axis]
     block = min(block, N // D)
@@ -221,3 +221,35 @@ def dist_solve_lower(L, B, mesh, axis="data", block=256):
         out_specs=P(axis, None),
     )
     return fn(L, B)
+
+
+def dist_solve_lower(L, B, mesh, axis="data", block=256):
+    """Solve ``L X = B`` with ``L`` lower-triangular, both row-block sharded.
+
+    Divide-and-conquer like :func:`dist_cholesky`: ``X1 = L11^{-1} B1``,
+    ``X2 = L22^{-1} (B2 - L21 X1)`` — the off-diagonal application is one
+    GSPMD-balanced GEMM, so the MAC count approaches the sequential minimum
+    instead of the flat loop's ~4x (whose per-panel residual updates span
+    all local rows to keep static shapes). The loop remains the base case
+    below the threshold."""
+    N = L.shape[-1]
+    D = mesh.shape[axis]
+    h = N // 2
+    if N < _REC_BASE or h % D != 0 or h % 2 != 0:
+        return _dist_solve_lower_loop(L, B, mesh, axis, block)
+
+    shard = NamedSharding(mesh, P(axis, None))
+
+    def reshard(a):
+        return jax.lax.with_sharding_constraint(a, shard)
+
+    L11 = reshard(L[:h, :h])
+    L21 = reshard(L[h:, :h])
+    L22 = reshard(L[h:, h:])
+    B1 = reshard(B[:h])
+    B2 = reshard(B[h:])
+
+    X1 = dist_solve_lower(L11, B1, mesh, axis=axis, block=block)
+    R2 = B2 - jnp.matmul(L21, X1, preferred_element_type=B.dtype)
+    X2 = dist_solve_lower(L22, reshard(R2), mesh, axis=axis, block=block)
+    return reshard(jnp.concatenate([X1, X2], axis=0))

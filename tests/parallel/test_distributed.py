@@ -424,3 +424,18 @@ def test_dist_cholesky_recursive_parity(mesh, monkeypatch):
     np.testing.assert_allclose(
         float(jax.grad(nlml_dist)(p)), float(jax.grad(nlml_ref)(p)), rtol=1e-5
     )
+
+
+def test_dist_solve_lower_recursive_parity(mesh, monkeypatch):
+    """The divide-and-conquer lower solve matches numpy through recursion."""
+    import stheno_tpu.parallel.cholesky as pc
+
+    monkeypatch.setattr(pc, "_REC_BASE", 64)
+    K = _psd(256, 11)
+    L = jnp.asarray(np.linalg.cholesky(np.asarray(K)))
+    B = jnp.asarray(np.random.RandomState(12).randn(256, 7))
+    X = pc.dist_solve_lower(L, B, mesh, block=8)
+    np.testing.assert_allclose(
+        np.asarray(X), np.linalg.solve(np.asarray(L), np.asarray(B)),
+        rtol=1e-7, atol=1e-9,
+    )
