@@ -20,7 +20,9 @@ from ..matrix import dense
 __all__ = ["kernel_matvec"]
 
 
-def kernel_matvec(k, x, v, noise=None, block=4096, tile_dtype=None, x_cols=None):
+def kernel_matvec(
+    k, x, v, noise=None, block=4096, tile_dtype=None, x_cols=None, symmetric=None
+):
     """Compute ``(k(x, x_cols) [+ noise I]) @ v`` matrix-free.
 
     Args:
@@ -36,6 +38,15 @@ def kernel_matvec(k, x, v, noise=None, block=4096, tile_dtype=None, x_cols=None)
             breaks operator symmetry).
         x_cols: optional column inputs (default: ``x`` — the square Gram);
             used by the row-sharded distributed matvec.
+        symmetric: exploit ``K = K^T`` in the square case — each
+            off-diagonal (block, block) tile is built once and applied both
+            ways, and the operator becomes *exactly* symmetric. Measured
+            OFF by default: on v5e the tile saving does not pay (16.6 vs
+            15.6 ms/matvec at n=65536, block=8192 — the row sweep is
+            GEMM/HBM-bound, not epilogue-bound) and reverse mode through
+            the pair sweep's scatter-adds is ~2x slower end-to-end
+            (N=262,144 NLML+grad: 29.8 s vs 14.4 s). Use only for
+            forward-only workloads that need exact operator symmetry.
 
     Returns:
         ``(n, p)`` (or ``(n,)`` matching ``v``).
@@ -43,7 +54,10 @@ def kernel_matvec(k, x, v, noise=None, block=4096, tile_dtype=None, x_cols=None)
     x = jnp.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
-    xc = x if x_cols is None else jnp.asarray(x_cols)
+    square = x_cols is None
+    if symmetric is None:
+        symmetric = False
+    xc = x if square else jnp.asarray(x_cols)
     if xc.ndim == 1:
         xc = xc[:, None]
     v_in = jnp.asarray(v)
@@ -56,21 +70,28 @@ def kernel_matvec(k, x, v, noise=None, block=4096, tile_dtype=None, x_cols=None)
     x_pad = jnp.zeros((n_pad, x.shape[1]), x.dtype).at[:n].set(x)
     x_blocks = x_pad.reshape(nb, block, x.shape[1])
     acc_dtype = v2.dtype
-    v_mm = v2 if tile_dtype is None else v2.astype(tile_dtype)
 
-    @jax.checkpoint
-    def body(carry, x_b):
-        # Rematerialised: reverse-mode recomputes each Gram tile instead of
-        # saving all of them (saving would be O(N^2) memory — the very thing
-        # this path exists to avoid).
-        K_b = jnp.asarray(dense(pairwise(k, x_b, xc)))
-        if tile_dtype is not None:
-            K_b = K_b.astype(tile_dtype)
-        out_b = jnp.matmul(K_b, v_mm, preferred_element_type=acc_dtype)
-        return carry, out_b.astype(acc_dtype)
+    if symmetric and square and nb > 1:
+        out = _matvec_sym(
+            k, x_blocks, v2, nb, block, n, n_pad, tile_dtype, acc_dtype
+        )
+    else:
+        v_mm = v2 if tile_dtype is None else v2.astype(tile_dtype)
 
-    _, out_blocks = lax.scan(body, None, x_blocks)
-    out = out_blocks.reshape(n_pad, v2.shape[1])[:n]
+        @jax.checkpoint
+        def body(carry, x_b):
+            # Rematerialised: reverse-mode recomputes each Gram tile instead
+            # of saving all of them (saving would be O(N^2) memory — the very
+            # thing this path exists to avoid).
+            K_b = jnp.asarray(dense(pairwise(k, x_b, xc)))
+            if tile_dtype is not None:
+                K_b = K_b.astype(tile_dtype)
+            out_b = jnp.matmul(K_b, v_mm, preferred_element_type=acc_dtype)
+            return carry, out_b.astype(acc_dtype)
+
+        _, out_blocks = lax.scan(body, None, x_blocks)
+        out = out_blocks.reshape(n_pad, v2.shape[1])[:n]
+
     if noise is not None:
         if x_cols is not None:
             raise ValueError("noise only applies to the square (x_cols=None) case.")
@@ -78,3 +99,45 @@ def kernel_matvec(k, x, v, noise=None, block=4096, tile_dtype=None, x_cols=None)
         noise_col = noise[:, None] if noise.ndim == 1 else noise
         out = out + noise_col * v2
     return out[:, 0] if v_in.ndim == 1 else out
+
+
+def _matvec_sym(k, x_blocks, v2, nb, block, n, n_pad, tile_dtype, acc_dtype):
+    """Upper-triangle tile sweep: for each i <= j build ``K_ij`` once, add
+    ``K_ij v_j`` into row-block i and ``K_ij^T v_i`` into row-block j.
+    Padded tail rows contribute nothing because ``v`` is zero-padded."""
+    import numpy as np
+
+    p = v2.shape[1]
+    v_pad = jnp.zeros((n_pad, p), v2.dtype).at[:n].set(v2)
+    v_blocks = v_pad.reshape(nb, block, p)
+    pairs = jnp.asarray(
+        np.array([(i, j) for i in range(nb) for j in range(i, nb)], np.int32)
+    )
+
+    @jax.checkpoint
+    def body(out, ij):
+        # Rematerialised like the plain path: tiles are rebuilt in reverse
+        # mode rather than saved.
+        i, j = ij[0], ij[1]
+        x_i = lax.dynamic_index_in_dim(x_blocks, i, keepdims=False)
+        x_j = lax.dynamic_index_in_dim(x_blocks, j, keepdims=False)
+        K_b = jnp.asarray(dense(pairwise(k, x_i, x_j)))
+        if tile_dtype is not None:
+            K_b = K_b.astype(tile_dtype)
+        v_j = lax.dynamic_index_in_dim(v_blocks, j, keepdims=False)
+        v_i = lax.dynamic_index_in_dim(v_blocks, i, keepdims=False)
+        if tile_dtype is not None:
+            v_j = v_j.astype(tile_dtype)
+            v_i = v_i.astype(tile_dtype)
+        out = out.at[i].add(
+            jnp.matmul(K_b, v_j, preferred_element_type=acc_dtype).astype(acc_dtype)
+        )
+        mirror = jnp.matmul(K_b.T, v_i, preferred_element_type=acc_dtype)
+        out = out.at[j].add(
+            jnp.where(i != j, mirror, 0.0).astype(acc_dtype)
+        )
+        return out, None
+
+    out0 = jnp.zeros((nb, block, p), acc_dtype)
+    out, _ = lax.scan(body, out0, pairs)
+    return out.reshape(n_pad, p)[:n]

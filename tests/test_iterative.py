@@ -183,3 +183,39 @@ def test_iterative_nlml_jits():
     val, grad = jax.value_and_grad(step)({"log_s2": jnp.asarray(0.0)})
     assert np.isfinite(float(val))
     assert np.isfinite(float(grad["log_s2"]))
+
+
+def test_symmetric_matvec_parity_and_grad():
+    """The upper-triangle symmetric sweep == the plain row sweep, including
+    through jax.grad and with padding (n not a multiple of block)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stheno_tpu import EQ
+    from stheno_tpu.iterative import kernel_matvec
+
+    n = 53  # deliberately not a multiple of block
+    x = jnp.linspace(0, 10, n)
+    v = jnp.asarray(np.random.RandomState(0).randn(n, 3))
+
+    out_sym = kernel_matvec(EQ(), x, v, noise=0.1, block=16, symmetric=True)
+    out_row = kernel_matvec(EQ(), x, v, noise=0.1, block=16, symmetric=False)
+    np.testing.assert_allclose(
+        np.asarray(out_sym), np.asarray(out_row), rtol=1e-12, atol=1e-12
+    )
+
+    def f(log_ell, sym):
+        k = EQ().stretch(jnp.exp(log_ell))
+        return jnp.sum(kernel_matvec(k, x, v, block=16, symmetric=sym) ** 2)
+
+    g_sym = float(jax.grad(lambda p: f(p, True))(jnp.asarray(0.2)))
+    g_row = float(jax.grad(lambda p: f(p, False))(jnp.asarray(0.2)))
+    np.testing.assert_allclose(g_sym, g_row, rtol=1e-10)
+
+    # Exact operator symmetry (what CG relies on).
+    m = 32
+    x2 = jnp.linspace(0, 10, m)
+    eye = jnp.eye(m)
+    K = np.asarray(kernel_matvec(EQ(), x2, eye, block=8, symmetric=True))
+    np.testing.assert_array_equal(K, K.T)
