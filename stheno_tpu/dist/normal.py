@@ -173,8 +173,6 @@ class Normal(RandomVector):
 
     @property
     def mean_var(self):
-        if self._mean is not None and self._var is not None:
-            return self.mean, self.var
         if self._mean is not None or self._var is not None:
             return self.mean, self.var
         if self._construct_mean_var is not None:
@@ -254,15 +252,12 @@ class Normal(RandomVector):
         # NaN-masked missing data: eager (concrete) inputs only, single
         # column, like the reference (`random.py:261-270`).
         if x.ndim == 2 and x.shape[1] == 1 and not isinstance(x, jax.core.Tracer):
-            x_np = np.asarray(jax.device_get(x)) if not any(
-                isinstance(l, jax.core.Tracer) for l in [x]
-            ) else None
-            if x_np is not None:
-                available = ~np.isnan(x_np[:, 0])
-                if not available.all():
-                    mean = jnp.asarray(dense(self.mean))[available]
-                    var = submatrix(self.var, available)
-                    return Normal(mean, var).logpdf(x[np.flatnonzero(available)])
+            x_np = np.asarray(jax.device_get(x))
+            available = ~np.isnan(x_np[:, 0])
+            if not available.all():
+                mean = jnp.asarray(dense(self.mean))[available]
+                var = submatrix(self.var, available)
+                return Normal(mean, var).logpdf(x[np.flatnonzero(available)])
 
         mean = self.mean
         mean = jnp.asarray(dense(mean)) if is_structured(mean) else jnp.asarray(mean)
@@ -365,6 +360,11 @@ class Normal(RandomVector):
             raise NotImplementedError(
                 f"Cannot add a Normal and a {type(other).__name__}."
             )
+        other = jnp.asarray(other)
+        if other.ndim == 1:
+            # The mean is a column (n, 1); a 1-D shift would broadcast to
+            # (n, n) and silently corrupt the distribution.
+            other = other[:, None]
         return Normal(jnp.asarray(dense(self.mean)) + other, self.var)
 
     def __mul__(self, other):

@@ -213,10 +213,7 @@ def scale(a, s):
     if isinstance(a, Constant):
         return Constant(a.const * s, a._rows, a._cols)
     if isinstance(a, LowRank):
-        middle = _lr_middle(a) * s if a.middle is not None else None
-        if middle is None:
-            middle = jnp.eye(a.rank, dtype=a.dtype) * s
-        return LowRank(a.left, a.right, middle)
+        return LowRank(a.left, a.right, _lr_middle(a) * s)
     if isinstance(a, Woodbury):
         return Woodbury(scale(a.diag, s), scale(a.lr, s))
     if isinstance(a, (LowerTriangular, UpperTriangular)):
@@ -352,6 +349,10 @@ def matmul(a, b, tr_a=False, tr_b=False):
     # Raw arrays against structured: handle vector-ish b directly.
     if a_s and not b_s:
         b = jnp.asarray(b)
+        if b.ndim == 1:
+            # jnp.matmul vector semantics: A @ v -> (n,). Route through the
+            # column form so every structure branch below sees rank >= 2.
+            return matmul(a, b[:, None])[..., 0]
         if isinstance(a, Zero):
             return jnp.zeros(
                 jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
@@ -376,8 +377,12 @@ def matmul(a, b, tr_a=False, tr_b=False):
             return matmul(a.diag, b) + matmul(a.lr, b)
         return jnp.matmul(dense(a), b)
     if b_s and not a_s:
+        a = jnp.asarray(a)
+        if a.ndim == 1:
+            # jnp.matmul vector semantics: v @ A -> (m,).
+            return matmul(a[None, :], b)[..., 0, :]
         return jnp.swapaxes(
-            matmul(transpose(b), jnp.swapaxes(jnp.asarray(a), -1, -2)), -1, -2
+            matmul(transpose(b), jnp.swapaxes(a, -1, -2)), -1, -2
         )
 
     # Structured–structured.
@@ -613,7 +618,9 @@ def _wb_core(a: Woodbury):
         m = _lr_middle(lr)
         dinv_left = left / d
         minv = jnp.linalg.inv(m)
-        core = minv + jnp.matmul(jnp.swapaxes(right, -1, -2), right / d)
+        # Woodbury capacitance: M^{-1} + R^T D^{-1} L (L, not R — they
+        # differ for non-symmetric low-rank parts).
+        core = minv + jnp.matmul(jnp.swapaxes(right, -1, -2), dinv_left)
         return dinv_left, right, core
 
     return _tracer_safe_cache(a, "wb_core", compute)

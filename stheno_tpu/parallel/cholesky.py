@@ -212,8 +212,10 @@ def _dist_solve_lower_loop(L, B, mesh, axis, block):
     N = L.shape[-1]
     D = mesh.shape[axis]
     block = min(block, N // D)
-    while N % (D * block) != 0:
+    while block > 0 and N % (D * block) != 0:
         block //= 2
+    if block == 0:
+        raise ValueError(f"Cannot tile N={N} over {D} devices.")
     fn = shard_map(
         partial(_dist_solve_lower_shard, axis=axis, block=block),
         mesh=mesh,

@@ -309,3 +309,56 @@ def test_adaptive_jitter_recovers_f32_indefinite_gram():
     W = jnp.asarray(a @ a.T + 32 * np.eye(32))
     eps = adaptive_jitter_eps(W, config.jitter(W.dtype))
     np.testing.assert_allclose(float(eps), config.jitter(W.dtype), rtol=1e-12)
+
+
+def test_solve_nonsymmetric_woodbury():
+    """The Woodbury capacitance must pair R^T D^{-1} with L (not R) — they
+    differ for non-symmetric low-rank parts."""
+    r = np.random.RandomState(0)
+    n, k = 12, 3
+    d = jnp.asarray(r.rand(n) + 1.0)
+    left = jnp.asarray(r.randn(n, k))
+    right = jnp.asarray(r.randn(n, k))
+    mid = jnp.asarray(r.randn(k, k) + 3 * np.eye(k))
+    W = M.Woodbury(M.Diagonal(d), M.LowRank(left, right, mid))
+    b = jnp.asarray(r.randn(n, 2))
+    dense_W = np.asarray(M.dense(W))
+    approx(M.dense(M.solve(W, b)), np.linalg.solve(dense_W, np.asarray(b)), rtol=1e-9)
+    # iqf inherits the solve.
+    approx(
+        M.dense(M.iqf(W, b)),
+        np.asarray(b).T @ np.linalg.solve(dense_W, np.asarray(b)),
+        rtol=1e-9,
+    )
+
+
+def test_matmul_vector_semantics():
+    """matmul(structured, 1-D) and matmul(1-D, structured) follow
+    jnp.matmul's vector semantics for every structure."""
+    r = np.random.RandomState(1)
+    n = 6
+    v = jnp.asarray(r.randn(n))
+    mats = [
+        M.Diagonal(jnp.asarray(r.rand(n) + 0.5)),
+        M.Zero(jnp.float64, n, n),
+        M.Constant(jnp.asarray(2.0), n, n),
+        M.LowRank(jnp.asarray(r.randn(n, 2))),
+        M.Woodbury(
+            M.Diagonal(jnp.asarray(r.rand(n) + 0.5)),
+            M.LowRank(jnp.asarray(r.randn(n, 2))),
+        ),
+        M.Dense(jnp.asarray(r.randn(n, n))),
+    ]
+    for a in mats:
+        want = np.asarray(M.dense(a)) @ np.asarray(v)
+        got = M.matmul(a, v)
+        got = np.asarray(M.dense(got)) if M.is_structured(got) else np.asarray(got)
+        assert got.shape == (n,), type(a).__name__
+        approx(got, want, rtol=1e-10)
+        want_l = np.asarray(v) @ np.asarray(M.dense(a))
+        got_l = M.matmul(v, a)
+        got_l = (
+            np.asarray(M.dense(got_l)) if M.is_structured(got_l) else np.asarray(got_l)
+        )
+        assert got_l.shape == (n,), type(a).__name__
+        approx(got_l, want_l, rtol=1e-10)

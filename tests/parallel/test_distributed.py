@@ -439,3 +439,12 @@ def test_dist_solve_lower_recursive_parity(mesh, monkeypatch):
         np.asarray(X), np.linalg.solve(np.asarray(L), np.asarray(B)),
         rtol=1e-7, atol=1e-9,
     )
+
+
+def test_dist_solve_untileable_raises(mesh):
+    """An untileable N raises a clear ValueError instead of dividing by
+    zero."""
+    L = jnp.eye(5)
+    B = jnp.ones((5, 1))
+    with pytest.raises(ValueError, match="Cannot tile"):
+        dist_solve_lower(L, B, mesh, block=8)

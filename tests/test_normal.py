@@ -276,3 +276,18 @@ def test_masked_logpdf_via_fdd():
     keep = np.flatnonzero(np.asarray(mask))
     val_ref = f(x[keep], 0.1).logpdf(y[keep])
     approx(val_masked, val_ref, rtol=1e-8)
+
+
+def test_add_vector_shift():
+    """`dist + v` with a 1-D shift must move the mean, not broadcast it to
+    a matrix."""
+    mean, var = _case()
+    dist = Normal(mean, var)
+    v = jnp.asarray([1.0, -2.0, 3.0, 0.5])
+    shifted = dist + v
+    assert np.asarray(M.dense(shifted.mean)).shape == (4, 1)
+    approx(
+        np.asarray(M.dense(shifted.mean))[:, 0],
+        np.asarray(mean)[:, 0] + np.asarray(v),
+        rtol=1e-12,
+    )
