@@ -448,3 +448,30 @@ def test_dist_solve_untileable_raises(mesh):
     B = jnp.ones((5, 1))
     with pytest.raises(ValueError, match="Cannot tile"):
         dist_solve_lower(L, B, mesh, block=8)
+
+
+def test_hybrid_mesh_chain_by_data():
+    """The 2D (chain, data) mesh: chains run HMC in parallel on the chain
+    axis while each chain's NLML shards its Gram on the data axis."""
+    from stheno_tpu.parallel import dist_nlml, make_hybrid_mesh, sharded_gram
+
+    mesh = make_hybrid_mesh(chains=2)
+    assert mesh.shape == {"chain": 2, "data": 4}
+
+    x = jnp.linspace(0, 10, 32)
+    y = jnp.sin(x)
+    K = sharded_gram(EQ(), x[:, None], mesh, noise=0.1)
+    val = float(dist_nlml(K, y, mesh, block=8))
+    f = GP(EQ())
+    np.testing.assert_allclose(
+        val, float(-f.measure.logpdf(f(x, 0.1), y)), rtol=1e-7
+    )
+
+    with pytest.raises(ValueError, match="does not divide"):
+        make_hybrid_mesh(chains=3)
+
+
+def test_initialize_hosts_single_process_noop():
+    from stheno_tpu.parallel import initialize_hosts
+
+    initialize_hosts()  # Must not raise on a single-process run.
