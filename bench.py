@@ -57,6 +57,13 @@ def main():
     # per host round-trip, which would inflate a min(total)/iters estimate
     # by ~0.5 ms/call. Timing two loop lengths and taking the slope isolates
     # the true per-call device latency.
+    # Guard: the benched computation must be *correct*, not just fast. At
+    # XLA's default matmul precision the f32 Gram/Cholesky NaN on TPU (see
+    # stheno_tpu/config.py:matmul_precision); the library pins float32-
+    # precision GEMMs, and this assert keeps the benchmark honest.
+    val = float(jax.jit(nlml)(y, jnp.asarray(2.0, dtype)))
+    assert val == val and abs(val) < 1e9, f"NLML not finite: {val}"
+
     i1, i2 = 10, 110
     m1, m2 = make(i1), make(i2)
     float(m1(y)), float(m2(y))  # Compile + warm up.

@@ -7,6 +7,10 @@ reference's 1e-12, float32/bfloat16 paths (the TPU MXU path) get a larger
 default suited to single precision.
 """
 
+import contextlib
+import functools
+
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -17,6 +21,10 @@ __all__ = [
     "set_cholesky_impl",
     "adaptive_jitter",
     "set_adaptive_jitter",
+    "matmul_precision",
+    "set_matmul_precision",
+    "matmul_precision_ctx",
+    "pin_matmul_precision",
 ]
 
 #: Global jitter override. ``None`` means "dtype-aware default".
@@ -62,6 +70,86 @@ def set_cholesky_impl(value):
     if value not in ("auto", "xla", "fast"):
         raise ValueError(f"unknown cholesky_impl: {value!r}")
     cholesky_impl = value
+
+
+#: MXU matmul precision for the library's own numerics. On TPU, XLA's
+#: *default* lowers float32 ``dot`` to a single bfloat16 MXU pass (~185
+#: TFLOP/s measured on a v5e) whose input rounding is catastrophic for GP
+#: linear algebra: measured at n=2,000 (EQ-periodic NLML, f32), default
+#: precision makes the Gram indefinite beyond any reasonable jitter (NLML =
+#: NaN), and even a true-f32 Gram NaNs under a bfloat16-pass Cholesky; a
+#: bfloat16-pass Gram alone corrupts the NLML *gradient* by ~64%. Even
+#: "high" (three bf16 passes, 61 TF/s measured on an 8192 GEMM) is not
+#: enough for the *factorisation*: with the Cholesky GEMMs at "high" the
+#: n=2,000 NLML is off by 3-6e-2 relative and its gradient by ~500%
+#: (the recursion's Schur complements and explicit triangular inverses
+#: amplify the dropped lo*lo cross terms), while the Gram at "high" alone
+#: only doubles the gradient error (2.2e-2 -> 4.0e-2). With "float32"
+#: (= ``Precision.HIGHEST``, six passes, 30 TF/s) the NLML matches the f64
+#: reference to 1.6e-4 and its gradient to 2.2e-2. The library therefore
+#: pins "float32" on its own matmuls (Gram builds, Cholesky/solve GEMMs,
+#: feature maps, distributed paths) at trace time, independent of the
+#: ambient JAX default. Set to "high" to trade that accuracy for 2x GEMM
+#: speed, or "default"/``None`` to inherit the ambient XLA behaviour.
+matmul_precision = "float32"
+
+_PRECISIONS = (
+    None,
+    "default",
+    "bfloat16",
+    "tensorfloat32",
+    "high",
+    "float32",
+    "highest",
+)
+
+
+def set_matmul_precision(value):
+    """Set the matmul precision used inside the library's numerics.
+
+    ``"float32"``/``"highest"`` (default; six bf16 MXU passes, exact f32),
+    ``"high"`` (three passes; 2x GEMM speed, loses ~2 digits on NLML values
+    and the sign-level accuracy of gradients through dense factorisations),
+    ``"bfloat16"``/``"tensorfloat32"`` (fast, reduced accuracy), or
+    ``None``/``"default"`` to inherit the ambient JAX default."""
+    global matmul_precision
+    if value not in _PRECISIONS:
+        raise ValueError(
+            f"unknown matmul_precision {value!r}; expected one of {_PRECISIONS}"
+        )
+    if value != matmul_precision:
+        matmul_precision = value
+        # jnp ops carry internal ``jit(inline=True)`` caches whose key
+        # snapshots the trace context at the *outermost* trace entry — a
+        # precision context entered inside a re-traced function (what
+        # ``pin_matmul_precision`` does) can therefore hit a jaxpr cached
+        # under the previous setting. Drop the caches so the knob always
+        # takes effect (measured repro: jnp.matmul re-trace keeps the old
+        # precision without this).
+        jax.clear_caches()
+
+
+def matmul_precision_ctx():
+    """Context manager applying the library matmul precision (trace-time)."""
+    if matmul_precision in (None, "default"):
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(matmul_precision)
+
+
+def pin_matmul_precision(fn):
+    """Decorator: trace ``fn``'s body under the library matmul precision.
+
+    Applied at the library's numeric chokepoints (kernel evaluation, dense
+    factorisations/solves, iterative and distributed paths) so every ``dot``
+    they emit carries an explicit precision, regardless of where the caller
+    traces them. jit-safe: precision is a trace-time attribute."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with matmul_precision_ctx():
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def jitter(dtype) -> float:

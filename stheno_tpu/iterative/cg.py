@@ -3,10 +3,12 @@
 import jax
 import jax.numpy as jnp
 from jax import lax
+from .. import config
 
 __all__ = ["batched_cg"]
 
 
+@config.pin_matmul_precision
 def batched_cg(matvec, b, *, precond=None, tol=1e-6, max_iters=1000, x0=None):
     """Solve ``A X = B`` for SPD matrix-free ``A`` with multiple right-hand
     sides simultaneously (they share each Gram-tile evaluation).

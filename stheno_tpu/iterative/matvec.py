@@ -16,12 +16,40 @@ from jax import lax
 
 from ..kernels import pairwise
 from ..matrix import dense
+from .. import config
 
 __all__ = ["kernel_matvec"]
 
 
+_PRECISION_MAP = {
+    "default": lax.Precision.DEFAULT,
+    "bfloat16": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "tensorfloat32": lax.Precision.HIGH,
+    "float32": lax.Precision.HIGHEST,
+    "highest": lax.Precision.HIGHEST,
+}
+
+
+def _tile_precision(precision):
+    """Resolve the tile-product precision: explicit string, or ``None`` to
+    inherit the library default (``config.matmul_precision``)."""
+    if precision is None:
+        precision = config.matmul_precision or "default"
+    return _PRECISION_MAP[precision]
+
+
+@config.pin_matmul_precision
 def kernel_matvec(
-    k, x, v, noise=None, block=4096, tile_dtype=None, x_cols=None, symmetric=None
+    k,
+    x,
+    v,
+    noise=None,
+    block=4096,
+    tile_dtype=None,
+    x_cols=None,
+    symmetric=None,
+    precision="high",
 ):
     """Compute ``(k(x, x_cols) [+ noise I]) @ v`` matrix-free.
 
@@ -38,6 +66,20 @@ def kernel_matvec(
             breaks operator symmetry).
         x_cols: optional column inputs (default: ``x`` — the square Gram);
             used by the row-sharded distributed matvec.
+        precision: MXU precision for the *tile products* ``K_b @ v`` (the
+            O(N^2 p) GEMM work). Default ``"high"`` (three bf16 passes,
+            ~4e-6 relative rounding): inside CG/SLQ the solves are governed
+            by ``cg_tol`` (1e-2..1e-6) and the estimators are stochastic, so
+            six-pass exactness buys nothing — measured on the N=262,144
+            NLML+grad step (v5e), "highest" costs 48.5 s vs 28.3 s at
+            "high" for a value difference of 1.3e-6 relative (inside SLQ
+            probe noise). Do NOT drop to "default"/bf16-pass: it is only
+            1.9x faster than "high" (15.0 s) but the input rounding puts
+            the NLML 18% off with gradients ~9x wrong — CG converges to the
+            rounded operator's solution, not K's. The Gram *tile build*
+            (distance matmuls) stays at the pinned library default
+            regardless. Pass ``None`` to inherit
+            ``config.matmul_precision``.
         symmetric: exploit ``K = K^T`` in the square case — each
             off-diagonal (block, block) tile is built once and applied both
             ways, and the operator becomes *exactly* symmetric. Measured
@@ -71,9 +113,10 @@ def kernel_matvec(
     x_blocks = x_pad.reshape(nb, block, x.shape[1])
     acc_dtype = v2.dtype
 
+    prec = _tile_precision(precision)
     if symmetric and square and nb > 1:
         out = _matvec_sym(
-            k, x_blocks, v2, nb, block, n, n_pad, tile_dtype, acc_dtype
+            k, x_blocks, v2, nb, block, n, n_pad, tile_dtype, acc_dtype, prec
         )
     else:
         v_mm = v2 if tile_dtype is None else v2.astype(tile_dtype)
@@ -86,7 +129,9 @@ def kernel_matvec(
             K_b = jnp.asarray(dense(pairwise(k, x_b, xc)))
             if tile_dtype is not None:
                 K_b = K_b.astype(tile_dtype)
-            out_b = jnp.matmul(K_b, v_mm, preferred_element_type=acc_dtype)
+            out_b = jnp.matmul(
+                K_b, v_mm, preferred_element_type=acc_dtype, precision=prec
+            )
             return carry, out_b.astype(acc_dtype)
 
         _, out_blocks = lax.scan(body, None, x_blocks)
@@ -101,7 +146,7 @@ def kernel_matvec(
     return out[:, 0] if v_in.ndim == 1 else out
 
 
-def _matvec_sym(k, x_blocks, v2, nb, block, n, n_pad, tile_dtype, acc_dtype):
+def _matvec_sym(k, x_blocks, v2, nb, block, n, n_pad, tile_dtype, acc_dtype, prec):
     """Upper-triangle tile sweep: for each i <= j build ``K_ij`` once, add
     ``K_ij v_j`` into row-block i and ``K_ij^T v_i`` into row-block j.
     Padded tail rows contribute nothing because ``v`` is zero-padded."""
@@ -130,9 +175,13 @@ def _matvec_sym(k, x_blocks, v2, nb, block, n, n_pad, tile_dtype, acc_dtype):
             v_j = v_j.astype(tile_dtype)
             v_i = v_i.astype(tile_dtype)
         out = out.at[i].add(
-            jnp.matmul(K_b, v_j, preferred_element_type=acc_dtype).astype(acc_dtype)
+            jnp.matmul(
+                K_b, v_j, preferred_element_type=acc_dtype, precision=prec
+            ).astype(acc_dtype)
         )
-        mirror = jnp.matmul(K_b.T, v_i, preferred_element_type=acc_dtype)
+        mirror = jnp.matmul(
+            K_b.T, v_i, preferred_element_type=acc_dtype, precision=prec
+        )
         out = out.at[j].add(
             jnp.where(i != j, mirror, 0.0).astype(acc_dtype)
         )

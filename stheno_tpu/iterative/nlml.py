@@ -26,12 +26,14 @@ from .pchol import (
     woodbury_preconditioner,
 )
 from .slq import slq_logdet
+from .. import config
 
 __all__ = ["iterative_nlml", "iterative_posterior_mean"]
 
 _LOG_2_PI = math.log(2 * math.pi)
 
 
+@config.pin_matmul_precision
 def iterative_nlml(
     kernel_fn,
     params,
@@ -92,6 +94,7 @@ def _nlml(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
     return val
 
 
+@config.pin_matmul_precision
 def _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
               surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
               precond_rank):
@@ -129,6 +132,7 @@ def _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
     return nlml, residuals
 
 
+@config.pin_matmul_precision
 def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
               slq_steps, precond_rank, residuals, g):
     params, noise, x, alpha, U, z = residuals
@@ -167,6 +171,7 @@ def make_surrogate_grad(kernel_fn, matvec_fn):
 _nlml.defvjp(_nlml_fwd, _nlml_bwd)
 
 
+@config.pin_matmul_precision
 def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
                              cg_tol=1e-6, max_cg_iters=1000,
                              precond_rank=64, block=4096):

@@ -11,10 +11,12 @@ from jax import lax
 
 from ..kernels import elwise, pairwise
 from ..matrix import dense
+from .. import config
 
 __all__ = ["pivoted_cholesky", "woodbury_preconditioner"]
 
 
+@config.pin_matmul_precision
 def pivoted_cholesky(k, x, rank):
     """Rank-``rank`` pivoted Cholesky of ``k(x, x)`` — returns ``L (n, rank)``.
 
@@ -54,6 +56,7 @@ def pivoted_cholesky(k, x, rank):
     return L
 
 
+@config.pin_matmul_precision
 def preconditioner_sqrt_ops(L, noise):
     """For ``P = noise I + L L^T``: returns ``(apply_P_half_inv, logdet_P)``.
 
@@ -79,6 +82,7 @@ def preconditioner_sqrt_ops(L, noise):
     return apply_half_inv, logdet_p
 
 
+@config.pin_matmul_precision
 def woodbury_preconditioner(L, noise):
     """``P^{-1}`` for ``P = noise I + L L^T`` via the Woodbury identity."""
     noise = jnp.asarray(noise)

@@ -3,10 +3,12 @@
 import jax
 import jax.numpy as jnp
 from jax import lax
+from .. import config
 
 __all__ = ["lanczos", "slq_logdet"]
 
 
+@config.pin_matmul_precision
 def lanczos(matvec, z, num_steps):
     """Batched Lanczos tridiagonalisation.
 
@@ -54,6 +56,7 @@ def lanczos(matvec, z, num_steps):
     return alphas, betas[:-1]
 
 
+@config.pin_matmul_precision
 def slq_logdet(matvec, z, *, num_steps=24):
     """Estimate ``logdet(A)`` for SPD matrix-free ``A`` via SLQ.
 

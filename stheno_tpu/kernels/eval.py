@@ -12,6 +12,7 @@ points avoid forming the N x N posterior covariance
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..matrix import block, is_structured
 from .kernel import Kernel, SumKernel
 from .mean import Mean
@@ -38,6 +39,7 @@ def _process(x):
     return x  # FDD-tagged or otherwise special input.
 
 
+@config.pin_matmul_precision
 def pairwise(k: Kernel, x, y=None):
     """Gram matrix of ``k`` between ``x`` and ``y`` (default ``y = x``),
     returned as a structured matrix."""
@@ -50,6 +52,7 @@ def pairwise(k: Kernel, x, y=None):
     return k._pairwise(x, y)
 
 
+@config.pin_matmul_precision
 def elwise(k: Kernel, x, y=None):
     """Elementwise kernel evaluation ``(..., n, 1)``."""
     x = _process(x)
@@ -65,6 +68,7 @@ def elwise(k: Kernel, x, y=None):
     return k._elwise(x, y)
 
 
+@config.pin_matmul_precision
 def mean_eval(m: Mean, x):
     """Evaluate a mean function at ``x`` as a column ``(..., n, 1)``."""
     x = _process(x)
@@ -73,6 +77,7 @@ def mean_eval(m: Mean, x):
     return m._eval(x)
 
 
+@config.pin_matmul_precision
 def mean_var(m: Mean, k: Kernel, x):
     """Fused (mean, Gram) evaluation; shares work for posterior objects."""
     from .posterior import PosteriorKernel, PosteriorMean
@@ -83,6 +88,7 @@ def mean_var(m: Mean, k: Kernel, x):
     return mean_eval(m, x), pairwise(k, x, x)
 
 
+@config.pin_matmul_precision
 def mean_var_diag(m: Mean, k: Kernel, x):
     """Fused (mean, var-diagonal) evaluation — the marginals fast path."""
     fused = _match_posterior(m, k)

@@ -24,6 +24,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from .kernel import (
     EQ,
     Kernel,
@@ -196,6 +197,7 @@ def _plan(k, d, budget, dtype):
     )
 
 
+@config.pin_matmul_precision
 def feature_map(k, key, num_features, d, dtype=None):
     """Build a random feature map for kernel expression ``k``.
 

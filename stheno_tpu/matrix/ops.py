@@ -335,6 +335,7 @@ def multiply(a, b):
 # ---------------------------------------------------------------------------
 
 
+@config.pin_matmul_precision
 def matmul(a, b, tr_a=False, tr_b=False):
     """``a @ b`` with optional transposes, preserving structure where cheap."""
     if tr_a:
@@ -413,12 +414,14 @@ def matmul(a, b, tr_a=False, tr_b=False):
     return Dense(jnp.matmul(dense(a), dense(b)))
 
 
+@config.pin_matmul_precision
 def matmul3(a, b, c, tr_a=False, tr_c=False):
     """``a @ b @ c`` (the reference's ``B.mm(a, b, c, tr_c=True)`` pattern,
     e.g. ``/root/reference/stheno/model/observations.py:323``)."""
     return matmul(matmul(a, b, tr_a=tr_a), c, tr_b=tr_c)
 
 
+@config.pin_matmul_precision
 def matmul_diag(a, b, tr_a=False):
     """``diag(a @ b)`` (or ``diag(a.T @ b)``) without forming the product —
     used for the VFE diag correction
@@ -492,16 +495,20 @@ def _chol_dense(mat):
     mat = mat + reg
     policy = config.cholesky_impl
     if policy == "auto":
-        # XLA's cholesky lowers to a sequential panel loop; the recursive
-        # GEMM formulation wins on accelerators once the GEMM work dominates
-        # the sequential base-case chain (measured chol-only crossover ~3072
-        # on v5e, 1.8x at 8192, see ops/chol.py). End-to-end the carried
-        # inv(L) turns downstream solves into GEMMs, which pulls the NLML
-        # crossover down to ~700 (measured xla/fast ms per NLML call:
-        # 0.146/0.162 at n=512, 0.246/0.238 at 768, 0.339/0.320 at 1024,
-        # 0.785/0.750 at 2000). On CPU (f64 LAPACK) the native kernel is
-        # better.
-        use_fast = jax.default_backend() != "cpu" and n >= 768
+        # Measured on a v5e at the library's pinned HIGHEST matmul precision
+        # (slope timing, EQ-periodic NLML; see ops/chol.py and
+        # docs/scaling.md "Matmul precision"): for the NLML *value* alone
+        # XLA's sequential-panel cholesky is faster (0.83 vs 1.03 ms at
+        # n=2000, 16.5 vs 31.2 ms at n=8192), but the carried inv(L) turns
+        # every downstream solve — and crucially the whole *gradient*, whose
+        # triangular-solve VJPs otherwise serialise — into GEMMs: grad times
+        # fast/xla are 2.28/2.52 ms at n=2000, 13.1/19.4 at 4096, 90/135 at
+        # 8192. Training = value+grad, so the fast path wins at every
+        # measured size (v+g fast/xla: 0.93/1.03 ms at n=1024, 3.31/3.35 at
+        # 2000, 18.1/22.6 at 4096, 121/151 at 8192); value-only inference at
+        # large n is the one workload where set_cholesky_impl("xla") pays.
+        # On CPU (f64 LAPACK) the native kernel is better.
+        use_fast = jax.default_backend() != "cpu" and n >= 1024
     else:
         use_fast = policy == "fast"
     if use_fast and mat.ndim == 2:
@@ -525,6 +532,7 @@ def _lower_with_inv(pair):
     return tri
 
 
+@config.pin_matmul_precision
 def cholesky(a):
     """Cholesky factor (lower). Cached per matrix object; adds the configured
     jitter for dense factorisations like the reference's ``B.epsilon`` policy."""
@@ -562,6 +570,7 @@ def _solve_triangular(tri, b, lower):
     return jax.scipy.linalg.solve_triangular(tri.mat, b_arr, lower=lower)
 
 
+@config.pin_matmul_precision
 def solve(a, b):
     """``a^{-1} b``. Triangular matrices use triangular solves; Diagonal and
     Woodbury use closed forms; otherwise solve via the (cached) Cholesky."""
@@ -635,6 +644,7 @@ def _solve_woodbury(a: Woodbury, b):
     return dinv_b - correction
 
 
+@config.pin_matmul_precision
 def iqf(a, b, c=None):
     """Inner quadratic form ``b^T a^{-1} c`` (``c`` defaults to ``b``),
     matching the reference's ``B.iqf``."""
@@ -658,6 +668,7 @@ def iqf(a, b, c=None):
     return Dense(jnp.matmul(jnp.swapaxes(lb, -1, -2), lc))
 
 
+@config.pin_matmul_precision
 def iqf_diag(a, b, c=None):
     """``diag(b^T a^{-1} c)`` as a vector ``(..., m)``."""
     if c is None:
@@ -676,6 +687,7 @@ def iqf_diag(a, b, c=None):
     return jnp.sum(lb * lc, axis=-2)
 
 
+@config.pin_matmul_precision
 def logdet(a):
     """Log-determinant. Woodbury uses the matrix-determinant lemma so e.g.
     Bayesian linear regression stays O(N r^2)."""
@@ -703,6 +715,7 @@ def logdet(a):
     return 2 * jnp.sum(jnp.log(diag_of(L)), axis=-1)
 
 
+@config.pin_matmul_precision
 def ratio(a, b):
     """``trace(b^{-1} a)`` (the reference's ``B.ratio``)."""
     if isinstance(a, Diagonal) and isinstance(b, Diagonal):
@@ -719,6 +732,7 @@ def ratio(a, b):
     return jnp.trace(half2, axis1=-2, axis2=-1)
 
 
+@config.pin_matmul_precision
 def root(a):
     """Symmetric positive-semidefinite square root."""
     if isinstance(a, Diagonal):
@@ -738,6 +752,7 @@ def root(a):
 # ---------------------------------------------------------------------------
 
 
+@config.pin_matmul_precision
 def sample(key, var, num=1):
     """Draw ``num`` zero-mean samples with covariance ``var`` as columns of a
     ``(..., n, num)`` array, using the structure of ``var``

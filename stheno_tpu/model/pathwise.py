@@ -29,10 +29,12 @@ from ..iterative.pchol import pivoted_cholesky, woodbury_preconditioner
 from ..kernels import pairwise
 from ..kernels.features import feature_map
 from ..matrix import add, as_matrix, dense, fill_diag, solve
+from .. import config
 
 __all__ = ["pathwise_sampler"]
 
 
+@config.pin_matmul_precision
 def pathwise_sampler(
     kernel,
     x,

@@ -1,12 +1,18 @@
 """GEMM-rich recursive Cholesky for TPU.
 
-XLA's native `cholesky` lowers to a sequential panel algorithm; measured on
-a v5e with dispatch-corrected slope timing it reaches 10.6/14.6/21.3 TFLOP/s
-at n = 4096/8192/16384, while the divide-and-conquer formulation below
-reaches 14.0/27.0/38.1 TFLOP/s (crossover ~3072; below that XLA wins on
-lower fixed overhead). The MXU-native formulation is the classic
-divide-and-conquer factorisation in which *all* O(n^3) work is matrix
-multiplication:
+XLA's native `cholesky` lowers to a sequential panel algorithm. The value of
+the divide-and-conquer formulation below is the *carried triangular
+inverse*: `cholesky_with_inv` produces `(L, inv(L))` with all O(n^3) work as
+matrix multiplication, so every downstream triangular solve — including the
+triangular-solve VJPs inside gradients, which otherwise serialise — becomes
+a GEMM. Measured on a v5e at the library's pinned HIGHEST matmul precision
+(dispatch-corrected slope timing): factor-only, XLA is faster (n=8192:
+16.5 vs 31.2 ms inside an NLML), but NLML *gradients* run 1.1-1.5x faster
+through this path (fast/xla ms: 2.28/2.52 at n=2000, 13.1/19.4 at 4096,
+90/135 at 8192), so value+grad — the training step — wins at every measured
+size; see `matrix/ops.py:_chol_dense` for the auto policy (fast from
+n>=1024 on accelerators). The formulation is the classic divide-and-conquer
+factorisation in which *all* O(n^3) work is matrix multiplication:
 
     chol([[A11, .], [A21, A22]]):
         L11 = chol(A11)                      (recurse)
@@ -30,6 +36,7 @@ back to the usual Cholesky-VJP formula through the base cases).
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from . import pallas_chol
 from .pallas_chol import chol_tile, chol_tile_available
 
@@ -48,6 +55,7 @@ def _split(n):
     return half if m >= n else m
 
 
+@config.pin_matmul_precision
 def tri_inv_lower(L):
     """Inverse of a lower-triangular matrix by blocked recursion (GEMMs)."""
     n = L.shape[-1]
@@ -70,6 +78,7 @@ def tri_inv_lower(L):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+@config.pin_matmul_precision
 def cholesky_with_inv(A):
     """``(L, inv(L))`` of SPD ``A`` with all O(n^3) work on the MXU.
 
@@ -115,6 +124,7 @@ def cholesky_with_inv(A):
     return L, Linv
 
 
+@config.pin_matmul_precision
 def fast_cholesky(A):
     """Lower Cholesky factor of SPD ``A`` with all O(n^3) work on the MXU.
 

@@ -25,6 +25,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from .. import config
 
 try:  # Pallas is TPU-only at runtime but importable everywhere.
     from jax.experimental import pallas as pl
@@ -95,8 +96,16 @@ def _gram_kernel(alpha_ref, xt_ref, yt_ref, o_ref, *, kind):
     # force. The kernel is one MXU contraction + VPU epilogue per tile.
     xt = xt_ref[:]  # (d_pad, TILE_M)
     yt = yt_ref[:]  # (d_pad, TILE_N)
+    # Explicit HIGHEST: Mosaic rejects the ambient Precision.HIGH the library
+    # pins outside Pallas, and the default single bf16 pass would round the
+    # inputs (see config.matmul_precision). The contraction is tiny (d_pad
+    # inner dim), so the extra passes are free.
     inner = jax.lax.dot_general(
-        xt, yt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        xt,
+        yt,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (TILE_M, TILE_N)
     if kind == "linear":
         o_ref[:] = inner.astype(o_ref.dtype)
@@ -179,11 +188,13 @@ def _gram(kind, x, y, alpha, interpret):
     return _pallas_gram(kind, x, y, alpha, interpret)
 
 
+@config.pin_matmul_precision
 def _gram_fwd(kind, x, y, alpha, interpret):
     K = _pallas_gram(kind, x, y, alpha, interpret)
     return K, (x, y, alpha, K)
 
 
+@config.pin_matmul_precision
 def _gram_bwd(kind, interpret, res, gbar):
     x, y, alpha, K = res
     if kind == "linear":
@@ -210,6 +221,7 @@ def _gram_bwd(kind, interpret, res, gbar):
 _gram.defvjp(_gram_fwd, _gram_bwd)
 
 
+@config.pin_matmul_precision
 def gram(kind, x, y, alpha=1.0):
     """Gram matrix ``g(||x_i - y_j||^2)`` (or ``x_i . y_j`` for linear),
     via the fused Pallas kernel on TPU and XLA elsewhere."""

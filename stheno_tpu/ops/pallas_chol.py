@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from .. import config
 
 try:  # Pallas is TPU-only at runtime but importable everywhere.
     from jax.experimental import pallas as pl
@@ -122,8 +123,13 @@ def _chol_kernel(a_ref, l_ref, dinv_ref, *, n):
         if kb + 1 < nb:
             # Panel: one MXU GEMM against the just-built diagonal inverse.
             P = l_ref[k1:n, k0:k1]
+            # Explicit HIGHEST: Mosaic rejects Precision.HIGH, and a bf16
+            # single pass would corrupt the factorisation (config.py).
             Lp = jnp.dot(
-                P, jnp.swapaxes(Ikk, 0, 1), preferred_element_type=jnp.float32
+                P,
+                jnp.swapaxes(Ikk, 0, 1),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             l_ref[k1:n, k0:k1] = Lp
             # Trailing update, one block-column GEMM at a time to bound the
@@ -136,6 +142,7 @@ def _chol_kernel(a_ref, l_ref, dinv_ref, *, n):
                     rows_blk,
                     jnp.swapaxes(Lpj, 0, 1),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 l_ref[j0:n, j0:j1] = l_ref[j0:n, j0:j1] - upd
     # Zero the strict upper triangle (panel slots above the diagonal still
@@ -222,6 +229,7 @@ def _chol_tile_fwd(A, interpret):
     return (L, Linv), (L, Linv)
 
 
+@config.pin_matmul_precision
 def _chol_tile_bwd(interpret, res, cots):
     L, Linv = res
     Lbar, Linvbar = cots
@@ -240,6 +248,7 @@ def _chol_tile_bwd(interpret, res, cots):
 _chol_tile.defvjp(_chol_tile_fwd, _chol_tile_bwd)
 
 
+@config.pin_matmul_precision
 def chol_tile(A):
     """``(L, inv(L))`` of SPD ``A`` (n <= MAX_TILE) via the VMEM-resident
     Pallas kernel. Caller is responsible for jitter. Differentiable."""

@@ -120,6 +120,7 @@ def _dist_cholesky_loop(K, mesh, axis, block):
 _REC_BASE = 2048
 
 
+@config.pin_matmul_precision
 def dist_cholesky(K, mesh, axis="data", block=256):
     """Lower Cholesky factor of a row-block-sharded PSD matrix ``K``.
 
@@ -225,6 +226,7 @@ def _dist_solve_lower_loop(L, B, mesh, axis, block):
     return fn(L, B)
 
 
+@config.pin_matmul_precision
 def dist_solve_lower(L, B, mesh, axis="data", block=256):
     """Solve ``L X = B`` with ``L`` lower-triangular, both row-block sharded.
 

@@ -20,12 +20,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..kernels import pairwise
 from ..matrix import dense
 from .cholesky import dist_cholesky, dist_solve_lower
+from .. import config
 
 __all__ = ["sharded_gram", "dist_nlml", "dist_posterior_predict"]
 
 _LOG_2_PI = math.log(2 * math.pi)
 
 
+@config.pin_matmul_precision
 def sharded_gram(kernel, x, mesh, axis="data", noise=None):
     """Dense Gram matrix ``k(x, x) (+ noise I)`` with rows sharded over
     ``axis``. ``x``: (N, d) replicated; returns (N, N) row-sharded."""
@@ -52,6 +54,7 @@ def _dist_nlml(K, y, mesh, axis, block):
     return nlml
 
 
+@config.pin_matmul_precision
 def _dist_nlml_fwd(K, y, mesh, axis, block):
     N = K.shape[-1]
     L = dist_cholesky(K, mesh, axis=axis, block=block)
@@ -62,6 +65,7 @@ def _dist_nlml_fwd(K, y, mesh, axis, block):
     return nlml, (L, half, y)
 
 
+@config.pin_matmul_precision
 def _dist_nlml_bwd(mesh, axis, block, residuals, g):
     L, half, y = residuals
     N = L.shape[-1]
@@ -100,6 +104,7 @@ def _solve_upper_from_lower(L, b, mesh, axis, block):
 _dist_nlml.defvjp(_dist_nlml_fwd, _dist_nlml_bwd)
 
 
+@config.pin_matmul_precision
 def dist_posterior_predict(kernel, x, y, x_new, noise, mesh, axis="data", block=256):
     """Posterior mean and variance-diagonal at ``x_new`` for an exact GP with
     row-sharded O(N^3/D) math."""

@@ -21,10 +21,12 @@ from jax import lax, shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..iterative.matvec import kernel_matvec
+from .. import config
 
 __all__ = ["sharded_kernel_matvec", "sharded_iterative_nlml"]
 
 
+@config.pin_matmul_precision
 def sharded_kernel_matvec(k, x, v, mesh, axis="data", noise=None, block=4096):
     """``(k(x,x) + noise I) @ v`` with row blocks distributed over ``axis``.
 
@@ -67,6 +69,7 @@ def sharded_kernel_matvec(k, x, v, mesh, axis="data", noise=None, block=4096):
     return out[:, 0] if v_in.ndim == 1 else out
 
 
+@config.pin_matmul_precision
 def _cross_matvec_sharded(k, x_rows, x_cols, v, mesh, axis="data", block=4096):
     """``k(x_rows, x_cols) @ v`` with the rows sharded over ``axis``
     (used by pathwise sample evaluation at large test batches)."""
@@ -90,6 +93,7 @@ def _cross_matvec_sharded(k, x_rows, x_cols, v, mesh, axis="data", block=4096):
     return out[:n]
 
 
+@config.pin_matmul_precision
 def make_sharded_surrogate_grad(kernel_fn, mesh, axis="data", block=4096):
     """Distributed Hutchinson-surrogate gradient for the iterative NLML.
 
@@ -155,6 +159,7 @@ def make_sharded_surrogate_grad(kernel_fn, mesh, axis="data", block=4096):
     return surrogate_grad
 
 
+@config.pin_matmul_precision
 def sharded_iterative_nlml(
     kernel_fn,
     params,

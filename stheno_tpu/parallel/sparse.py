@@ -126,6 +126,7 @@ def _sparse_core(kernel, z, x, y, noise, mesh, axis, method, noise_z):
     return elbo, L_z, L_A, c
 
 
+@config.pin_matmul_precision
 def dist_elbo(kernel, z, x, y, noise, mesh, axis="data", method="vfe", noise_z=None):
     """Collapsed evidence lower bound for a zero-mean sparse GP with the N
     observations row-sharded over mesh ``axis``.
@@ -140,6 +141,7 @@ def dist_elbo(kernel, z, x, y, noise, mesh, axis="data", method="vfe", noise_z=N
     return elbo
 
 
+@config.pin_matmul_precision
 def dist_sparse_posterior(
     kernel, z, x, y, noise, x_new, mesh, axis="data", method="vfe", noise_z=None
 ):
