@@ -2,6 +2,7 @@ from .fdd import FDD, noise_as_matrix, take
 from .gp import GP, assert_same_measure, cross, intersection_measure_group
 from .measure import Measure
 from .pathwise import pathwise_sampler
+from .svgp import svgp_elbo, svgp_init, svgp_natgrad_step, svgp_predict
 from .observations import (
     AbstractObservations,
     AbstractPseudoObservations,
@@ -28,6 +29,10 @@ __all__ = [
     "intersection_measure_group",
     "Measure",
     "pathwise_sampler",
+    "svgp_init",
+    "svgp_elbo",
+    "svgp_predict",
+    "svgp_natgrad_step",
     "AbstractObservations",
     "AbstractPseudoObservations",
     "Observations",
