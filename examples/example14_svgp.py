@@ -70,6 +70,6 @@ full = float(svgp_elbo(k, params, x[:, None], y, NOISE, N))
 f = GP(k)
 opt_bound = float(f.measure.logpdf(PseudoObs(f(params["z"][:, 0]), (f(x, NOISE), y))))
 print(f"full-batch uncollapsed ELBO: {full:10.1f}")
-print(f"collapsed VFE at same (theta, z): {opt_bound:10.1f}  (upper bounds the above)")
+print(f"collapsed VFE at same (theta, z): {opt_bound:10.1f}  (equal: rho=1 full-batch step is optimal)")
 print(f"learned lengthscale {float(jnp.exp(theta['log_ell'])):.3f}, "
       f"signal variance {float(jnp.exp(theta['log_s2'])):.3f}")

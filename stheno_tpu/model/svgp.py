@@ -40,7 +40,6 @@ import jax.numpy as jnp
 from .. import config
 from ..kernels import elwise, mean_eval, pairwise
 from ..matrix import cholesky, dense, solve
-from ..matrix.types import LowerTriangular
 
 __all__ = ["svgp_init", "svgp_elbo", "svgp_predict", "svgp_natgrad_step"]
 
@@ -50,22 +49,42 @@ def _as_col(y):
     return y[:, None] if y.ndim == 1 else y
 
 
-def _chol_Lz(k, z):
-    """Lower Cholesky factor of ``k(z, z)`` (+ configured jitter) as a dense
-    array. Uses the library's structured ops so the jitter policy and the
-    pinned matmul precision apply."""
-    K_z = pairwise(k, z)
-    return dense(cholesky(K_z))
+def _as_mean(mean):
+    """Promote numbers/callables to a mean expression (as ``GP`` does,
+    reference ``gp.py:81-87``)."""
+    from ..kernels import OneMean
+    from ..kernels.mean import Mean
+
+    if isinstance(mean, Mean):
+        return mean
+    return mean * OneMean()
+
+
+def _whitened_A(k, params, x):
+    """``A = L_z^{-1} k(z, x)`` (M, B), via the library's structured ops so
+    the jitter policy, the pinned matmul precision, and the fast-Cholesky
+    carried ``inv(L)`` (which turns this solve into a GEMM at large M —
+    see ``matrix/ops.py:_chol_dense``) all apply."""
+    z = params["z"]
+    L = cholesky(pairwise(k, z))
+    K_zx = dense(pairwise(k, z, x))
+    return dense(solve(L, K_zx))
 
 
 def _whitened_stats(k, params, x):
-    """``A = L_z^{-1} k(z, x)`` (M, B) plus the prior diagonal at ``x``."""
-    z = params["z"]
-    L_z = _chol_Lz(k, z)
-    K_zx = dense(pairwise(k, z, x))
-    A = dense(solve(LowerTriangular(L_z), K_zx))
+    """``A`` plus the prior kernel diagonal at ``x`` (for variances)."""
+    A = _whitened_A(k, params, x)
     k_diag = jnp.squeeze(jnp.asarray(elwise(k, x)), -1)  # (B,)
-    return A, k_diag, L_z
+    return A, k_diag
+
+
+def _marginals(A, k_diag, m_w, S):
+    """Whitened-posterior predictive marginals: mean ``A^T m`` (B, 1) and
+    ``Var[f_i] = k_ii - a_i^T a_i + a_i^T S S^T a_i`` clamped at zero."""
+    f_mean = jnp.matmul(jnp.swapaxes(A, -1, -2), m_w)  # (B, 1)
+    SA = jnp.matmul(jnp.swapaxes(S, -1, -2), A)  # (M, B)
+    f_var = k_diag - jnp.sum(A * A, axis=-2) + jnp.sum(SA * SA, axis=-2)
+    return f_mean, jnp.maximum(f_var, 0)
 
 
 @config.pin_matmul_precision
@@ -106,17 +125,12 @@ def svgp_elbo(k, params, x, y, noise, num_data, mean=None):
     likelihood sum (GSPMD reduces it); all other terms are O(M^2)."""
     y = _as_col(y)
     if mean is not None:
-        y = y - jnp.asarray(mean_eval(mean, x))
-    A, k_diag, _ = _whitened_stats(k, params, x)
+        y = y - jnp.asarray(mean_eval(_as_mean(mean), x))
+    A, k_diag = _whitened_stats(k, params, x)
     m_w, S = params["q_mu"], jnp.tril(params["q_sqrt"])
     b = y.shape[-2]
     noise = jnp.asarray(noise)
-
-    f_mean = jnp.matmul(jnp.swapaxes(A, -1, -2), m_w)  # (B, 1)
-    # Var[f_i] = k_ii - a_i^T a_i + a_i^T S S^T a_i  (whitened posterior).
-    SA = jnp.matmul(jnp.swapaxes(S, -1, -2), A)  # (M, B)
-    f_var = k_diag - jnp.sum(A * A, axis=-2) + jnp.sum(SA * SA, axis=-2)
-    f_var = jnp.maximum(f_var, 0)
+    f_mean, f_var = _marginals(A, k_diag, m_w, S)
 
     resid2 = jnp.squeeze((y - f_mean), -1) ** 2
     lik = -0.5 * jnp.sum(
@@ -140,14 +154,12 @@ def svgp_predict(k, params, x_new, noise=None, mean=None):
 
     ``noise=None`` returns the latent-function marginals; a scalar adds
     observation noise to the variance."""
-    A, k_diag, _ = _whitened_stats(k, params, x_new)
+    A, k_diag = _whitened_stats(k, params, x_new)
     m_w, S = params["q_mu"], jnp.tril(params["q_sqrt"])
-    f_mean = jnp.squeeze(jnp.matmul(jnp.swapaxes(A, -1, -2), m_w), -1)
+    f_mean, f_var = _marginals(A, k_diag, m_w, S)
+    f_mean = jnp.squeeze(f_mean, -1)
     if mean is not None:
-        f_mean = f_mean + jnp.squeeze(jnp.asarray(mean_eval(mean, x_new)), -1)
-    SA = jnp.matmul(jnp.swapaxes(S, -1, -2), A)
-    f_var = k_diag - jnp.sum(A * A, axis=-2) + jnp.sum(SA * SA, axis=-2)
-    f_var = jnp.maximum(f_var, 0)
+        f_mean = f_mean + jnp.squeeze(jnp.asarray(mean_eval(_as_mean(mean), x_new)), -1)
     if noise is not None:
         f_var = f_var + jnp.asarray(noise)
     return f_mean, f_var
@@ -165,8 +177,8 @@ def svgp_natgrad_step(k, params, x, y, noise, num_data, rho, mean=None):
     ordinary gradient of :func:`svgp_elbo`)."""
     y = _as_col(y)
     if mean is not None:
-        y = y - jnp.asarray(mean_eval(mean, x))
-    A, _, _ = _whitened_stats(k, params, x)
+        y = y - jnp.asarray(mean_eval(_as_mean(mean), x))
+    A = _whitened_A(k, params, x)
     m_w, S = params["q_mu"], jnp.tril(params["q_sqrt"])
     m_dim = m_w.shape[-2]
     noise = jnp.asarray(noise)
@@ -174,10 +186,11 @@ def svgp_natgrad_step(k, params, x, y, noise, num_data, rho, mean=None):
     eye = jnp.eye(m_dim, dtype=A.dtype)
 
     # Current natural parameters: Lam = Sigma^{-1}, nu = Sigma^{-1} m.
-    Sigma = jnp.matmul(S, jnp.swapaxes(S, -1, -2))
-    L_S = jnp.linalg.cholesky(Sigma + config.jitter(A.dtype) * eye)
-    Lam = jax.scipy.linalg.cho_solve((L_S, True), eye)
-    nu = jax.scipy.linalg.cho_solve((L_S, True), m_w)
+    # S is already a lower-triangular factor of Sigma = S S^T, so cho_solve
+    # on S directly inverts it exactly — no re-factorisation, no jitter,
+    # and the conditioning of S rather than its square.
+    Lam = jax.scipy.linalg.cho_solve((S, True), eye)
+    nu = jax.scipy.linalg.cho_solve((S, True), m_w)
 
     # Batch statistics of the optimal update.
     Lam_hat = eye + scale * jnp.matmul(A, jnp.swapaxes(A, -1, -2)) / noise

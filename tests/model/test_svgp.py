@@ -146,6 +146,30 @@ def test_adam_training_improves_elbo(problem):
     assert after > before + 100.0  # large improvement from the prior init
 
 
+def test_mean_function_matches_collapsed(problem):
+    """`mean=` path: SVGP with a prior mean must equal the collapsed bound
+    and posterior of a GP with that mean."""
+    k, x, y, z, noise = problem
+    mean = lambda t: 0.7 * t + 1.2
+
+    params = svgp_init(k, z)
+    params = svgp_natgrad_step(
+        k, params, x[:, None], y, noise, 60, rho=1.0, mean=mean
+    )
+    elbo = svgp_elbo(k, params, x[:, None], y, noise, 60, mean=mean)
+
+    f = GP(mean, k)
+    obs = PseudoObs(f(z), (f(x, noise), y))
+    approx(elbo, obs.elbo(f.measure), rtol=1e-6)
+
+    x_new = jnp.linspace(-1.0, 9.0, 40)
+    post = f.measure | obs
+    mean_ref, var_ref = post(f(x_new)).marginals()
+    m, v = svgp_predict(k, params, x_new[:, None], mean=mean)
+    approx(m, mean_ref, rtol=1e-5, atol=1e-8)
+    approx(v, var_ref, rtol=1e-4, atol=1e-8)
+
+
 def test_sharded_batch_matches_replicated(problem):
     k, x, y, z, noise = problem
     if len(jax.devices()) < 2:
