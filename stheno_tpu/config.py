@@ -58,9 +58,14 @@ def set_adaptive_jitter(value):
     adaptive_jitter = bool(value)
 
 
-#: Dense-Cholesky implementation policy: "auto" uses the GEMM-rich recursive
-#: factorisation (`ops/chol.py`) on accelerator backends above its base-case
-#: size and XLA's native kernel otherwise; "xla" / "fast" force one choice.
+#: Dense-Cholesky implementation policy. "auto" picks per call site: on
+#: accelerator backends at n >= 1024 *and while a gradient is flowing
+#: through the factorisation* (detected from the tracer stack —
+#: ``matrix/ops.py:_under_autodiff``) it uses the GEMM-rich recursion with
+#: carried ``inv(L)`` (`ops/chol.py`), which makes the triangular-solve
+#: VJPs GEMMs; for value-only inference it uses XLA's native kernel, which
+#: is faster factor-only (measured v5e: NLML value 0.81 vs 1.03 ms at
+#: n=2000, 16.5 vs 31.2 ms at n=8192). "xla" / "fast" force one choice.
 cholesky_impl = "auto"
 
 

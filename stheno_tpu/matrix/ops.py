@@ -483,6 +483,27 @@ def adaptive_jitter_eps(mat, base):
     return jax.lax.while_loop(not_ok, lambda e: e * 10.0, base)
 
 
+def _under_autodiff(x):
+    """True when ``x`` is being differentiated: some level of its tracer
+    stack is an AD tracer (``LinearizeTracer``/``JVPTracer`` — reverse mode
+    traces through linearize in current JAX). Walks ``primal``/``val`` so
+    ``jit(grad(f))``, ``vmap(grad(f))`` etc. are all detected. Best-effort:
+    tracer internals are version-dependent, so unknown tracers report
+    False (the value-only policy, which is always correct, just not the
+    fastest choice under differentiation)."""
+    t = x
+    while isinstance(t, jax.core.Tracer):
+        if type(t).__name__ in ("JVPTracer", "LinearizeTracer"):
+            return True
+        inner = getattr(t, "primal", None)
+        if inner is None:
+            inner = getattr(t, "val", None)
+        if inner is None:
+            return False
+        t = inner
+    return False
+
+
 def _chol_dense(mat):
     """Jittered dense Cholesky. Returns ``(L, Linv_or_None)``: the fast path
     computes ``inv(L)`` as a byproduct (XLA prunes it when nothing uses it),
@@ -505,10 +526,16 @@ def _chol_dense(mat):
         # fast/xla are 2.28/2.52 ms at n=2000, 13.1/19.4 at 4096, 90/135 at
         # 8192. Training = value+grad, so the fast path wins at every
         # measured size (v+g fast/xla: 0.93/1.03 ms at n=1024, 3.31/3.35 at
-        # 2000, 18.1/22.6 at 4096, 121/151 at 8192); value-only inference at
-        # large n is the one workload where set_cholesky_impl("xla") pays.
-        # On CPU (f64 LAPACK) the native kernel is better.
-        use_fast = jax.default_backend() != "cpu" and n >= 1024
+        # 2000, 18.1/22.6 at 4096, 121/151 at 8192). The auto policy
+        # therefore keys on whether a gradient is actually flowing through
+        # this factorisation (detected from the tracer stack): value-only
+        # inference gets XLA, differentiated factorisations the fast path.
+        # On CPU (f64 LAPACK) the native kernel is better everywhere.
+        use_fast = (
+            jax.default_backend() != "cpu"
+            and n >= 1024
+            and _under_autodiff(mat)
+        )
     else:
         use_fast = policy == "fast"
     if use_fast and mat.ndim == 2:

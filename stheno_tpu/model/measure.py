@@ -118,7 +118,11 @@ class Measure:
 
     def add_gp(self, mean, kernel, left_rule, right_rule=None):
         """Escape hatch: add a hand-rolled process with explicit cross-kernel
-        rules (reference ``measure.py:119-137``)."""
+        rules (reference ``measure.py:119-137``).
+
+        Deliberate divergence: the reference accepts ``right_rule`` but drops
+        it (``measure.py:136`` hardcodes ``right_rule=None``); we honor it.
+        ``None`` still gives the default transpose rule."""
         p = GP()
         self._update(p, mean, kernel, left_rule, right_rule)
         return p

@@ -117,3 +117,53 @@ def test_fast_policy_solve_via_carried_inverse():
     np.testing.assert_allclose(
         iqf_fast, np.asarray(b).T @ x_ref, rtol=1e-6, atol=1e-8
     )
+
+
+def test_under_autodiff_detection():
+    """The auto policy's AD detection must fire under every differentiation
+    transform (including composed ones) and stay off for plain jit/eager."""
+    from stheno_tpu.matrix.ops import _under_autodiff
+
+    seen = {}
+
+    def f(tag):
+        def g(x):
+            seen[tag] = _under_autodiff(x)
+            return jnp.sum(x * x)
+
+        return g
+
+    x = jnp.ones(4)
+    f("eager")(x)
+    jax.jit(f("jit"))(x)
+    jax.grad(f("grad"))(x)
+    jax.jit(jax.grad(f("jit_grad")))(x)
+    jax.vmap(jax.grad(f("vmap_grad")))(jnp.ones((2, 4)))
+    jax.jacfwd(f("jacfwd"))(x)
+    jax.value_and_grad(f("value_and_grad"))(x)
+
+    assert not seen["eager"]
+    assert not seen["jit"]
+    for tag in ("grad", "jit_grad", "vmap_grad", "jacfwd", "value_and_grad"):
+        assert seen[tag], f"autodiff not detected under {tag}"
+
+
+def test_auto_policy_value_grad_consistency():
+    """Under the auto policy the impl may differ between a value-only call
+    and a differentiated call; both must produce a valid factor and matching
+    NLML values."""
+    import stheno_tpu.matrix as M
+
+    A = _spd(1100, seed=17)
+    b = jnp.asarray(np.random.RandomState(3).randn(1100))
+
+    def nlml(s):
+        Af = M.Dense(A * s)
+        return 0.5 * (
+            M.logdet(Af) + jnp.squeeze(M.dense(M.iqf(Af, b[:, None])))
+        )
+
+    v_only = jax.jit(nlml)(jnp.asarray(1.0))
+    v_grad, g = jax.jit(jax.value_and_grad(nlml))(jnp.asarray(1.0))
+    np.testing.assert_allclose(float(v_only), float(v_grad), rtol=1e-8)
+    assert np.isfinite(float(g))
