@@ -46,7 +46,14 @@ def _dupdate(arr, val, r, c):
     return lax.dynamic_update_slice(arr, val, (_i32(r), _i32(c)))
 
 def _chol_local(block_mat):
+    """Panel-diagonal Cholesky, honoring the same jitter policy as the dense
+    path (``matrix/ops.py:_chol_dense``): fixed ``config.jitter`` by default,
+    escalating probe when ``config.set_adaptive_jitter(True)``."""
     eps = config.jitter(block_mat.dtype)
+    if config.adaptive_jitter:
+        from ..matrix.ops import adaptive_jitter_eps
+
+        eps = adaptive_jitter_eps(block_mat, eps)
     b = block_mat.shape[-1]
     return jnp.linalg.cholesky(block_mat + eps * jnp.eye(b, dtype=block_mat.dtype))
 
@@ -102,10 +109,10 @@ def _dist_cholesky_loop(K, mesh, axis, block):
     N = K.shape[-1]
     D = mesh.shape[axis]
     block = min(block, N // D)
-    while N % (D * block) != 0 or (N // block) * block != N:
+    while block > 0 and (N % (D * block) != 0 or (N // block) * block != N):
         block //= 2
-        if block == 0:
-            raise ValueError(f"Cannot tile N={N} over {D} devices.")
+    if block == 0:
+        raise ValueError(f"Cannot tile N={N} over {D} devices.")
     fn = shard_map(
         partial(_dist_cholesky_shard, axis=axis, block=block),
         mesh=mesh,

@@ -42,9 +42,12 @@ def _logdet_from_L(L):
 
 
 def dist_nlml(K, y, mesh, axis="data", block=256):
-    """Negative log marginal likelihood ``0.5 (logdet K + y^T K^{-1} y +
-    N log 2pi)`` for a row-sharded ``K``; differentiable w.r.t. ``K`` (and
-    ``y``) via the analytic gradient."""
+    """Negative log marginal likelihood for a row-sharded ``K``;
+    differentiable w.r.t. ``K`` (and ``y``) via the analytic gradient.
+
+    ``y`` may be ``(N,)`` or ``(N, m)``: with ``m`` columns this is the sum
+    of the ``m`` per-column NLMLs of independent outputs sharing ``K``,
+    ``0.5 (m logdet K + sum_j y_j^T K^{-1} y_j + m N log 2pi)``."""
     return _dist_nlml(K, y, mesh, axis, block)
 
 
@@ -58,10 +61,13 @@ def _dist_nlml(K, y, mesh, axis, block):
 def _dist_nlml_fwd(K, y, mesh, axis, block):
     N = K.shape[-1]
     L = dist_cholesky(K, mesh, axis=axis, block=block)
-    y = y if y.ndim == 2 else y[:, None]
-    half = dist_solve_lower(L, y, mesh, axis=axis, block=block)  # L^{-1} y
+    y2 = y if y.ndim == 2 else y[:, None]
+    m = y2.shape[-1]
+    half = dist_solve_lower(L, y2, mesh, axis=axis, block=block)  # L^{-1} y
     quad = jnp.sum(half * half)
-    nlml = 0.5 * (_logdet_from_L(L) + quad + N * _LOG_2_PI)
+    nlml = 0.5 * (m * _logdet_from_L(L) + quad + m * N * _LOG_2_PI)
+    # Stash `y` as given (not `y2`): the bwd keys the cotangent's shape on
+    # the primal's own ndim.
     return nlml, (L, half, y)
 
 
@@ -69,6 +75,7 @@ def _dist_nlml_fwd(K, y, mesh, axis, block):
 def _dist_nlml_bwd(mesh, axis, block, residuals, g):
     L, half, y = residuals
     N = L.shape[-1]
+    m = y.shape[-1] if y.ndim == 2 else 1
     # alpha = K^{-1} y = L^{-T} (L^{-1} y).
     alpha = _solve_upper_from_lower(L, half, mesh, axis, block)
     # K^{-1} = L^{-T} L^{-1}: column-block by column-block via the identity.
@@ -81,7 +88,7 @@ def _dist_nlml_bwd(mesh, axis, block, residuals, g):
     Kinv = jax.lax.with_sharding_constraint(
         Kinv, NamedSharding(mesh, P(axis, None))
     )
-    Kbar = 0.5 * g * (Kinv - jnp.matmul(alpha, alpha.T))
+    Kbar = 0.5 * g * (m * Kinv - jnp.matmul(alpha, alpha.T))
     ybar = g * alpha
     return Kbar, ybar if y.ndim == 2 else ybar[:, 0]
 

@@ -32,13 +32,28 @@ def initialize_hosts(coordinator_address=None, num_processes=None, process_id=No
     single host: initialisation failures in a non-distributed environment
     are reported, not raised, so single-host scripts can share the driver
     code path."""
+    # True idempotence: a second call on an already-initialised multi-host
+    # runtime must be a no-op, not a re-raise of "already initialized".
+    state = getattr(jax._src.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError) as e:
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        if jax.process_count() > 1:
+            raise
+        import logging
+
+        logging.getLogger(__name__).info(
+            "single-process run; distributed init skipped (%s)", e
+        )
+    except ValueError as e:
         if jax.process_count() > 1:
             raise
         import logging

@@ -26,6 +26,18 @@ from .. import config
 __all__ = ["sharded_kernel_matvec", "sharded_iterative_nlml"]
 
 
+def _pad_rows(a, n_pad):
+    """Zero-pad the leading axis of ``a`` to ``n_pad`` rows (padded rows are
+    masked or sliced away by every caller)."""
+    return jnp.zeros((n_pad,) + a.shape[1:], a.dtype).at[: a.shape[0]].set(a)
+
+
+def _padded_rows(n, mesh, axis):
+    """Leading-axis length rounded up to a multiple of the mesh axis size."""
+    D = mesh.shape[axis]
+    return -(-n // D) * D, D
+
+
 @config.pin_matmul_precision
 def sharded_kernel_matvec(k, x, v, mesh, axis="data", noise=None, block=4096):
     """``(k(x,x) + noise I) @ v`` with row blocks distributed over ``axis``.
@@ -43,9 +55,8 @@ def sharded_kernel_matvec(k, x, v, mesh, axis="data", noise=None, block=4096):
     v_in = jnp.asarray(v)
     v2 = v_in[:, None] if v_in.ndim == 1 else v_in
     n, d = x.shape
-    D = mesh.shape[axis]
-    n_pad = -(-n // D) * D
-    x_pad = jnp.zeros((n_pad, d), x.dtype).at[:n].set(x)
+    n_pad, D = _padded_rows(n, mesh, axis)
+    x_pad = _pad_rows(x, n_pad)
 
     local_block = min(block, n_pad // D)
 
@@ -75,9 +86,8 @@ def _cross_matvec_sharded(k, x_rows, x_cols, v, mesh, axis="data", block=4096):
     (used by pathwise sample evaluation at large test batches)."""
     x_rows = jnp.asarray(x_rows)
     n, d = x_rows.shape
-    D = mesh.shape[axis]
-    n_pad = -(-n // D) * D
-    rows_pad = jnp.zeros((n_pad, d), x_rows.dtype).at[:n].set(x_rows)
+    n_pad, D = _padded_rows(n, mesh, axis)
+    rows_pad = _pad_rows(x_rows, n_pad)
     local_block = min(block, n_pad // D)
 
     def body(r_loc, c_full, v_full):
@@ -108,13 +118,10 @@ def make_sharded_surrogate_grad(kernel_fn, mesh, axis="data", block=4096):
         x_in = jnp.asarray(x)
         x2 = x_in[:, None] if x_in.ndim == 1 else x_in
         n, d = x2.shape
-        D = mesh.shape[axis]
-        n_pad = -(-n // D) * D
-
-        def pad(a):
-            return jnp.zeros((n_pad,) + a.shape[1:], a.dtype).at[: a.shape[0]].set(a)
-
-        x_padded, U_pad, z_pad, a_pad = pad(x2), pad(U), pad(z), pad(alpha)
+        n_pad, D = _padded_rows(n, mesh, axis)
+        x_padded, U_pad, z_pad, a_pad = (
+            _pad_rows(a, n_pad) for a in (x2, U, z, alpha)
+        )
         local_block = min(block, n_pad // D)
         p = U.shape[1]
 

@@ -475,3 +475,71 @@ def test_initialize_hosts_single_process_noop():
     from stheno_tpu.parallel import initialize_hosts
 
     initialize_hosts()  # Must not raise on a single-process run.
+
+
+def test_dist_nlml_1d_y_gradient_shape(mesh):
+    """The y-cotangent must match the primal's shape: (n,) y -> (n,) grad
+    (regression: the fwd rebound y to 2-D before stashing it)."""
+    K = _psd(64, 5)
+    y1 = jnp.asarray(np.random.RandomState(6).randn(64))
+    g1 = jax.grad(lambda y: dist_nlml(K, y, mesh, block=8))(y1)
+    assert g1.shape == (64,)
+    g2 = jax.grad(lambda y: dist_nlml(K, y, mesh, block=8))(y1[:, None])
+    assert g2.shape == (64, 1)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2[:, 0]), rtol=1e-10)
+    # And both equal the analytic K^{-1} y.
+    ref = np.linalg.solve(np.asarray(K), np.asarray(y1))
+    np.testing.assert_allclose(np.asarray(g1), ref, rtol=1e-6, atol=1e-8)
+
+
+def test_dist_nlml_multi_column_semantics(mesh):
+    """(n, m) y = sum of m per-column NLMLs of independent outputs sharing
+    K — both the value and the K-gradient."""
+    K = _psd(64, 7)
+    Y = jnp.asarray(np.random.RandomState(8).randn(64, 3))
+
+    def col_sum(K):
+        return sum(
+            dist_nlml(K, Y[:, j], mesh, block=8) for j in range(3)
+        )
+
+    v_joint, g_joint = jax.value_and_grad(
+        lambda K: dist_nlml(K, Y, mesh, block=8)
+    )(K)
+    v_cols, g_cols = jax.value_and_grad(col_sum)(K)
+    np.testing.assert_allclose(float(v_joint), float(v_cols), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(g_joint), np.asarray(g_cols), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_dist_cholesky_untileable_raises(mesh):
+    """N < D must raise the clear tiling error, not ZeroDivisionError."""
+    with pytest.raises(ValueError, match="Cannot tile"):
+        dist_cholesky(_psd(5), mesh)
+
+
+def test_dist_cholesky_adaptive_jitter(mesh):
+    """config.set_adaptive_jitter(True) must reach the distributed panel
+    factorisation: a rank-deficient Gram whose fixed jitter is too small
+    still factorises finitely."""
+    from stheno_tpu import config
+
+    r = np.random.RandomState(9)
+    U = r.randn(64, 4)
+    K = jnp.asarray((U @ U.T) * 1e4)  # rank-4, large norm: needs scaled jitter
+    try:
+        config.set_adaptive_jitter(True)
+        L = dist_cholesky(K.astype(jnp.float32), mesh, block=8)
+        assert bool(jnp.all(jnp.isfinite(L)))
+    finally:
+        config.set_adaptive_jitter(False)
+
+
+def test_initialize_hosts_idempotent():
+    """Second call must be a no-op even if the runtime reports it is already
+    initialised."""
+    from stheno_tpu.parallel import initialize_hosts
+
+    initialize_hosts()
+    initialize_hosts()  # must not raise
