@@ -75,6 +75,7 @@ def as_matrix(a):
     return Dense(a)
 
 
+@config.pin_matmul_precision
 def dense(a):
     """Materialise ``a`` as a plain ``jnp`` array."""
     if not is_structured(a):
@@ -103,8 +104,10 @@ def dense(a):
     raise TypeError(f"Cannot densify {type(a).__name__}.")
 
 
+@config.pin_matmul_precision
 def diag_of(a):
-    """Diagonal of a matrix as a vector ``(..., n)``."""
+    """Diagonal of a matrix as a vector ``(..., n)`` (matmul-bearing for
+    LowRank, hence pinned)."""
     if not is_structured(a):
         return jnp.diagonal(jnp.asarray(a), axis1=-2, axis2=-1)
     if isinstance(a, Diagonal):
@@ -200,24 +203,33 @@ def _lr_middle(a: LowRank):
 
 
 def scale(a, s):
-    """Multiply by a scalar, preserving structure."""
+    """Multiply by a scalar (possibly batched: extra dims of ``s`` are
+    *batch* dims, broadcast against the leaves' leading dims, never against
+    the trailing matrix dims), preserving structure."""
     if not is_structured(a):
-        return jnp.asarray(a) * s
+        s_arr = jnp.asarray(s)
+        return jnp.asarray(a) * (
+            s_arr[..., None, None] if s_arr.ndim else s_arr
+        )
     s = jnp.asarray(s)
+    # Batched s multiplies matrix-shaped leaves as (..., 1, 1) and
+    # vector-shaped leaves (diagonals) as (..., 1).
+    sm = s[..., None, None] if s.ndim else s
+    sv = s[..., None] if s.ndim else s
     if isinstance(a, Dense):
-        return Dense(a.mat * s)
+        return Dense(a.mat * sm)
     if isinstance(a, Diagonal):
-        return Diagonal(a.diag * s)
+        return Diagonal(a.diag * sv)
     if isinstance(a, Zero):
         return a
     if isinstance(a, Constant):
         return Constant(a.const * s, a._rows, a._cols)
     if isinstance(a, LowRank):
-        return LowRank(a.left, a.right, _lr_middle(a) * s)
+        return LowRank(a.left, a.right, _lr_middle(a) * sm)
     if isinstance(a, Woodbury):
         return Woodbury(scale(a.diag, s), scale(a.lr, s))
     if isinstance(a, (LowerTriangular, UpperTriangular)):
-        return type(a)(a.mat * s)
+        return type(a)(a.mat * sm)
     if isinstance(a, Kronecker):
         return Kronecker(scale(a.left, s), a.right)
     raise TypeError(f"Cannot scale {type(a).__name__}.")
@@ -510,10 +522,9 @@ def _chol_dense(mat):
     which turns downstream triangular solves into GEMMs."""
     n = mat.shape[-1]
     eps = config.jitter(mat.dtype)
-    if config.adaptive_jitter:
+    adaptive = config.adaptive_jitter
+    if adaptive:
         eps = adaptive_jitter_eps(mat, eps)
-    reg = eps * jnp.eye(n, dtype=mat.dtype)
-    mat = mat + reg
     policy = config.cholesky_impl
     if policy == "auto":
         # Measured on a v5e at the library's pinned HIGHEST matmul precision
@@ -538,6 +549,14 @@ def _chol_dense(mat):
         )
     else:
         use_fast = policy == "fast"
+    if adaptive and use_fast:
+        # The adaptive probe calibrates with XLA's sequential cholesky; the
+        # GEMM recursion's Schur complements and explicit triangular
+        # inverses amplify rounding, so an eps that barely passes the probe
+        # can still go indefinite inside the recursion. One safety decade
+        # covers the amplification (see ops/chol.py numerics note).
+        eps = eps * 10.0
+    mat = mat + eps * jnp.eye(n, dtype=mat.dtype)
     if use_fast and mat.ndim == 2:
         from ..ops.chol import cholesky_with_inv
 
@@ -571,8 +590,10 @@ def cholesky(a):
             return Diagonal(jnp.sqrt(a.diag))
         if isinstance(a, Zero):
             return a
-        if isinstance(a, LowerTriangular):
-            return a
+        # No special case for LowerTriangular: like logdet/solve, cholesky
+        # treats a triangular input as an ordinary (almost surely non-SPD)
+        # matrix — "return it as its own factor" would silently change what
+        # ratio()/sample() compute for triangular inputs.
         if isinstance(a, Kronecker):
             return Kronecker(cholesky(a.left), cholesky(a.right))
         return _lower_with_inv(_chol_dense(dense(a)))
@@ -600,7 +621,13 @@ def _solve_triangular(tri, b, lower):
 @config.pin_matmul_precision
 def solve(a, b):
     """``a^{-1} b``. Triangular matrices use triangular solves; Diagonal and
-    Woodbury use closed forms; otherwise solve via the (cached) Cholesky."""
+    Woodbury use closed forms; otherwise solve via the (cached) Cholesky.
+    A 1-D ``b`` is treated as a single column and returned 1-D (matching
+    ``matmul``'s vector semantics)."""
+    if not is_structured(b):
+        b_arr = jnp.asarray(b)
+        if b_arr.ndim == 1:
+            return solve(a, b_arr[:, None])[..., 0]
     if isinstance(a, LowerTriangular):
         return _solve_triangular(a, b, lower=True)
     if isinstance(a, UpperTriangular):
@@ -672,11 +699,24 @@ def _solve_woodbury(a: Woodbury, b):
 
 
 @config.pin_matmul_precision
+def _as_col_operand(b):
+    """Uprank a 1-D quadratic-form operand to a single column."""
+    if not is_structured(b):
+        b = jnp.asarray(b)
+        if b.ndim == 1:
+            return b[:, None]
+    return b
+
+
 def iqf(a, b, c=None):
     """Inner quadratic form ``b^T a^{-1} c`` (``c`` defaults to ``b``),
-    matching the reference's ``B.iqf``."""
+    matching the reference's ``B.iqf``. 1-D operands are treated as single
+    columns (result ``(1, 1)``)."""
+    b = _as_col_operand(b)
     if c is None:
         c = b
+    else:
+        c = _as_col_operand(c)
     if isinstance(a, (Diagonal, Woodbury, LowerTriangular, UpperTriangular)):
         return Dense(
             jnp.matmul(
@@ -697,9 +737,13 @@ def iqf(a, b, c=None):
 
 @config.pin_matmul_precision
 def iqf_diag(a, b, c=None):
-    """``diag(b^T a^{-1} c)`` as a vector ``(..., m)``."""
+    """``diag(b^T a^{-1} c)`` as a vector ``(..., m)``. 1-D operands are
+    treated as single columns (result ``(1,)``)."""
+    b = _as_col_operand(b)
     if c is None:
         c = b
+    else:
+        c = _as_col_operand(c)
     b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
     if isinstance(a, (Diagonal, Woodbury, LowerTriangular, UpperTriangular)):
         return jnp.sum(b_arr * solve(a, c), axis=-2)
@@ -835,7 +879,11 @@ def block_diag(*mats):
         return mats[0]
     if all(isinstance(m, Zero) for m in mats):
         return Zero(mats[0].dtype, sum(m.rows for m in mats), sum(m.cols for m in mats))
-    if all(isinstance(m, (Diagonal, Zero)) for m in mats):
+    # The Diagonal fast path requires every block to be square (a
+    # rectangular Zero makes the overall block-diagonal non-square).
+    if all(
+        isinstance(m, (Diagonal, Zero)) and m.rows == m.cols for m in mats
+    ):
         diags = [
             m.diag if isinstance(m, Diagonal) else jnp.zeros(m.shape[:-2] + (m.rows,), m.dtype)
             for m in mats

@@ -89,7 +89,11 @@ def cholesky_with_inv(A):
     off-diagonal) — no sequential triangular substitution anywhere.
     2-D inputs only (callers vmap or fall back for batches)."""
     n = A.shape[-1]
-    if chol_tile_available() and n <= pallas_chol.MAX_TILE:
+    if (
+        chol_tile_available()
+        and n <= pallas_chol.MAX_TILE
+        and A.dtype == jnp.float32  # the tile kernel computes in f32 only
+    ):
         return chol_tile(A)
     if n <= _BASE:
         L = jnp.linalg.cholesky(A)

@@ -199,10 +199,15 @@ def _gram_bwd(kind, interpret, res, gbar):
     x, y, alpha, K = res
     if kind == "linear":
         return gbar @ y, gbar.T @ x, jnp.zeros_like(alpha)
-    xn = jnp.sum(x * x, axis=-1, keepdims=True)
-    yn = jnp.sum(y * y, axis=-1, keepdims=True)
-    d2 = xn + yn.T - 2.0 * jnp.matmul(x, y.T)
-    W = gbar * _g_prime(kind, d2, K, alpha)
+    if kind == "eq":
+        # g' = -0.5 K needs no d2: skip the x @ y.T GEMM + norms entirely
+        # (~1/3 of the backward's flops for the most common kernel).
+        W = gbar * (-0.5 * K)
+    else:
+        xn = jnp.sum(x * x, axis=-1, keepdims=True)
+        yn = jnp.sum(y * y, axis=-1, keepdims=True)
+        d2 = xn + yn.T - 2.0 * jnp.matmul(x, y.T)
+        W = gbar * _g_prime(kind, d2, K, alpha)
     row = jnp.sum(W, axis=1, keepdims=True)
     col = jnp.sum(W, axis=0, keepdims=True).T
     xbar = 2.0 * (row * x - W @ y)

@@ -251,7 +251,16 @@ _chol_tile.defvjp(_chol_tile_fwd, _chol_tile_bwd)
 @config.pin_matmul_precision
 def chol_tile(A):
     """``(L, inv(L))`` of SPD ``A`` (n <= MAX_TILE) via the VMEM-resident
-    Pallas kernel. Caller is responsible for jitter. Differentiable."""
+    Pallas kernel. Caller is responsible for jitter. Differentiable.
+
+    float32 only: the kernel computes in f32 internally, so accepting wider
+    dtypes would silently return f32-accurate results in f64 clothing —
+    callers (``chol.cholesky_with_inv``) route non-f32 to the XLA base."""
     if A.ndim != 2 or A.shape[-1] > MAX_TILE:
         raise ValueError(f"chol_tile: unsupported shape {A.shape}")
+    if A.dtype != jnp.float32:
+        raise TypeError(
+            f"chol_tile computes in float32; got {A.dtype}. Use the XLA "
+            f"base case for wider dtypes."
+        )
     return _chol_tile(A, _MODE == "interpret")

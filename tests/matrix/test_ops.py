@@ -362,3 +362,73 @@ def test_matmul_vector_semantics():
         )
         assert got_l.shape == (n,), type(a).__name__
         approx(got_l, want_l, rtol=1e-10)
+
+
+def test_solve_vector_semantics():
+    """solve(A, v) with 1-D v returns 1-D for every structure (regression:
+    Diagonal/Woodbury broadcast (n,)/(n,1) into (n,n))."""
+    n = 6
+    v = jnp.asarray(_rng(3).randn(n))
+    for a in structured_examples(n, seed=4):
+        a_dense = np.asarray(M.dense(a))
+        if np.linalg.matrix_rank(a_dense) < n:
+            continue
+        out = M.solve(a, v)
+        assert jnp.asarray(out).shape == (n,), (type(a).__name__, jnp.asarray(out).shape)
+        approx(out, np.linalg.solve(a_dense, np.asarray(v)), rtol=1e-6, atol=1e-8)
+    # Triangular and Kronecker too.
+    T = M.LowerTriangular(jnp.asarray(np.tril(_rng(4).randn(n, n)) + 3 * np.eye(n)))
+    approx(M.solve(T, v), np.linalg.solve(np.asarray(M.dense(T)), np.asarray(v)),
+           rtol=1e-6, atol=1e-8)
+    assert M.solve(T, v).shape == (n,)
+    Kr = M.Kronecker(M.Dense(jnp.asarray(make_psd(2, 8))), M.Dense(jnp.asarray(make_psd(3, 9))))
+    out = M.solve(Kr, v)
+    assert jnp.asarray(out).shape == (n,)
+    approx(out, np.linalg.solve(np.asarray(M.dense(Kr)), np.asarray(v)), rtol=1e-6, atol=1e-8)
+
+
+def test_iqf_vector_operands():
+    """iqf/iqf_diag accept 1-D operands as single columns."""
+    n = 6
+    A = jnp.asarray(make_psd(n, 5))
+    b = jnp.asarray(_rng(6).randn(n))
+    ref = float(np.asarray(b) @ np.linalg.solve(np.asarray(A), np.asarray(b)))
+    val = float(jnp.squeeze(M.dense(M.iqf(M.Dense(A), b))))
+    np.testing.assert_allclose(val, ref, rtol=1e-6)
+    vd = M.iqf_diag(M.Dense(A), b)
+    assert vd.shape == (1,)
+    np.testing.assert_allclose(float(vd[0]), ref, rtol=1e-6)
+
+
+def test_scale_batched_constant_multiply():
+    """multiply() with a batch-broadcast Constant scales per batch, never
+    along trailing matrix dims (regression: (B,) broadcast into columns)."""
+    const = jnp.arange(1.0, 5.0)  # batch of 4 constants
+    C = M.Constant(const, 3, 4)
+    D = M.Dense(jnp.ones((4, 3, 4)))
+    out = M.dense(M.multiply(C, D))
+    ref = const[:, None, None] * np.ones((4, 3, 4))
+    approx(out, ref, rtol=1e-12)
+    # scale() directly, on other structures.
+    s = jnp.asarray([2.0, 3.0])
+    diag = M.Diagonal(jnp.ones((2, 3)))
+    approx(M.dense(M.scale(diag, s)), s[:, None, None] * np.eye(3), rtol=1e-12)
+
+
+def test_block_diag_rectangular_zero():
+    """block_diag with a rectangular Zero keeps the true overall shape."""
+    out = M.block_diag(M.Diagonal(jnp.ones(2)), M.Zero(jnp.float64, 2, 3))
+    assert M.shape_matrix(out) == (4, 5)
+    ref = np.zeros((4, 5))
+    ref[0, 0] = ref[1, 1] = 1.0
+    approx(M.dense(out), ref, rtol=1e-12)
+
+
+def test_cholesky_triangular_not_identity():
+    """cholesky(LowerTriangular) must not return the input as its own
+    factor: triangular inputs are ordinary matrices to cholesky, matching
+    logdet/solve semantics (it NaNs for non-SPD input rather than silently
+    computing with covariance T T^T)."""
+    T = M.LowerTriangular(jnp.asarray([[4.0, 0.0], [1.0, -3.0]]))
+    L = M.dense(M.cholesky(T))
+    assert not np.allclose(np.asarray(L), np.asarray(M.dense(T)))
