@@ -99,11 +99,13 @@ class Normal(RandomVector):
     ):
         if var is None:
             mean, var = None, mean
-        if callable(var):
+        if callable(var) or callable(mean):
+            # Lazy if *either* part is a thunk (a callable mean with an
+            # eager variance must not store the function as the mean).
             self._mean = None
             self._construct_mean = mean if callable(mean) else (lambda: 0 if mean is None else mean)
             self._var = None
-            self._construct_var = var
+            self._construct_var = var if callable(var) else (lambda: var)
             self._var_diag = None
             self._construct_var_diag = var_diag
             self._construct_mean_var = mean_var
@@ -127,9 +129,18 @@ class Normal(RandomVector):
         if self._mean_is_zero is None:
             self._mean_is_zero = _is_zero(self._mean)
         if self._mean_is_zero and _is_symbolic_zero(self._mean) and construct_zeros:
-            self._mean = jnp.zeros(
-                self._var_batch_shape() + (self.dim, 1), dtype=self.dtype
-            )
+            if self._var is None and (
+                self._var_diag is not None
+                or self._construct_var_diag is not None
+            ):
+                # Take shape/dtype from the cheap diagonal thunk so a
+                # marginals-only query never materialises the full variance.
+                vd = self.var_diag
+                self._mean = jnp.zeros(vd.shape, dtype=vd.dtype)
+            else:
+                self._mean = jnp.zeros(
+                    self._var_batch_shape() + (self.dim, 1), dtype=self.dtype
+                )
 
     def _var_batch_shape(self):
         return as_matrix(self.var).batch_shape

@@ -218,4 +218,7 @@ def feature_map(k, key, num_features, d, dtype=None):
     if not isinstance(k, Kernel):
         raise TypeError(f"Expected a kernel expression, got {type(k)}.")
     n_feat, build = _plan(k, int(d), int(num_features), dtype)
-    return build(key), n_feat
+    # The decorator on feature_map only pins matmuls traced *now*; the phi
+    # closure's GEMMs trace when the caller invokes it, possibly outside any
+    # pinned context — pin the closure itself.
+    return config.pin_matmul_precision(build(key)), n_feat

@@ -561,6 +561,17 @@ class Delta(Kernel):
             return jnp.ones(x.shape[:-1] + (1,), dtype=x.dtype)
         return jnp.asarray(ew_dists2(x, y) <= self.epsilon**2, dtype=x.dtype)
 
+    def _scalar(self, x, y):
+        # Almost-everywhere-zero contribution: the delta's derivative is zero
+        # away from coincident points, so derivative kernels of expressions
+        # with a noise term (e.g. ``(EQ() + s * Delta()).diff(0, 0)``) see a
+        # flat zero through autodiff (CLAUDE.md: every kernel implements
+        # ``_scalar``). The value at coincidence matches ``_elwise``.
+        d2 = jnp.sum((x - y) ** 2)
+        return jax.lax.stop_gradient(
+            jnp.asarray(d2 <= self.epsilon**2, dtype=x.dtype)
+        )
+
     @property
     def stationary(self):
         return True
@@ -600,6 +611,12 @@ class FixedDelta(Kernel):
                 self.noises.astype(x.dtype)[..., None], x.shape[:-1] + (1,)
             )
         return jnp.zeros(x.shape[:-1] + (1,), dtype=x.dtype)
+
+    def _scalar(self, x, y):
+        # Scalar evaluation cannot identify "the same collection of points",
+        # so the a.e. value (zero) applies — and its derivative is zero,
+        # which is what derivative kernels of noisy expressions need.
+        return jnp.zeros((), dtype=x.dtype)
 
     @property
     def stationary(self):

@@ -15,6 +15,7 @@ from ..kernels.kernel import (
     ScaledKernel,
     SumKernel,
     _InputWrappedKernel,
+    _SwappedKernel,
     InputTransformedKernel,
 )
 from ..kernels.mean import Mean
@@ -153,7 +154,12 @@ def dimensionality(k):
         return None
     if isinstance(k, (SumKernel, ProductKernel)):
         return _check_and_merge(k, dimensionality(k.k1), dimensionality(k.k2))
-    if isinstance(k, (ScaledKernel, _InputWrappedKernel, DerivativeKernel)):
+    if isinstance(
+        k, (ScaledKernel, _InputWrappedKernel, DerivativeKernel, _SwappedKernel)
+    ):
+        # _SwappedKernel: a transposed cross-kernel has the dimensionality of
+        # what it wraps (the reference recurses through all Wrapped kernels,
+        # incl. Reversed — ``/root/reference/stheno/mo/infer.py:72-73``).
         return dimensionality(k.k)
     if isinstance(k, PosteriorKernel):
         return _check_and_merge(

@@ -129,4 +129,6 @@ def pathwise_sampler(
             update = kernel_matvec(kernel, xn, v, block=block, x_cols=x2)
         return prior_part + update
 
-    return sample_fn, key
+    # Pin the closure: its GEMMs trace at call time, outside this function's
+    # own pinned context.
+    return config.pin_matmul_precision(sample_fn), key

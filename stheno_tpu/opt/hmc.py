@@ -17,16 +17,21 @@ __all__ = ["sample_hmc"]
 
 
 def _leapfrog(logpdf, q, p, step_size, n_steps):
+    """Leapfrog with the gradient threaded through the carry: n_steps + 1
+    gradient evaluations total, not 2 * n_steps (the end-of-step gradient is
+    the next step's start-of-step gradient — same as nuts.py's integrator)."""
     grad = jax.grad(logpdf)
 
-    def body(_, qp):
-        q, p = qp
-        p = jax.tree.map(lambda pi, gi: pi + 0.5 * step_size * gi, p, grad(q))
+    def body(_, qpg):
+        q, p, g = qpg
+        p = jax.tree.map(lambda pi, gi: pi + 0.5 * step_size * gi, p, g)
         q = jax.tree.map(lambda qi, pi: qi + step_size * pi, q, p)
-        p = jax.tree.map(lambda pi, gi: pi + 0.5 * step_size * gi, p, grad(q))
-        return q, p
+        g = grad(q)
+        p = jax.tree.map(lambda pi, gi: pi + 0.5 * step_size * gi, p, g)
+        return q, p, g
 
-    return jax.lax.fori_loop(0, n_steps, body, (q, p))
+    q, p, _ = jax.lax.fori_loop(0, n_steps, body, (q, p, grad(q)))
+    return q, p
 
 
 def _kinetic(p):

@@ -14,6 +14,15 @@ __all__ = ["minimise_adam", "minimise_lbfgs", "minimise_l_bfgs_b"]
 
 
 def _make_loss(f, vs):
+    # Evaluate once eagerly so parameters created inside `f` register into
+    # `vs` before the latent pytree is read (varz discovers variables the
+    # same way); without this a fresh Vars would optimise an empty pytree.
+    f(vs)
+    if not vs.latent_dict():
+        raise ValueError(
+            "The objective registered no parameters in the Vars container."
+        )
+
     def loss(latent):
         return jnp.asarray(f(vs.with_latent(latent)))
 

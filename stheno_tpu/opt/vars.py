@@ -69,6 +69,10 @@ class Vars:
 
     def _get(self, name, init, bijection, shape):
         if name is None:
+            # Positional identity for unnamed parameters (varz semantics):
+            # the i-th unnamed call in an evaluation is always `var{i}`, so
+            # re-running the objective re-reads instead of re-registering.
+            # ``with_latent`` views reset the counter per evaluation.
             name = f"var{self._counter}"
             self._counter += 1
         if name not in self._latent:
@@ -110,7 +114,9 @@ class Vars:
         view.dtype = self.dtype
         view._latent = dict(latent)
         view._bijections = dict(self._bijections)
-        view._counter = self._counter
+        # Each view is one objective evaluation: unnamed parameters replay
+        # positionally from var0.
+        view._counter = 0
         return view
 
     def assign_latent(self, latent):

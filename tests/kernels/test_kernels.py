@@ -406,3 +406,22 @@ def test_display():
     assert str(EQ() + Exp()) == "EQ() + Exp()"
     assert str(2 * EQ()) == "2 * EQ()"
     assert "RQ" in str(RQ(0.5))
+
+
+def test_derivative_of_noisy_kernel_expression():
+    """Delta/FixedDelta implement _scalar (a.e.-zero), so derivative kernels
+    of expressions containing a noise term evaluate finitely."""
+    from stheno_tpu import Delta, FixedDelta
+    from stheno_tpu.kernels import pairwise
+    import stheno_tpu.matrix as M
+
+    x = jnp.linspace(0.0, 4.0, 6)[:, None]
+    for noise_k in (0.1 * Delta(), FixedDelta(jnp.ones(6))):
+        k = (EQ() + noise_k).diff(0, 0)
+        K = np.asarray(M.dense(pairwise(k, x)))
+        # Away from coincidence the delta contributes nothing: equals the
+        # EQ-only derivative there.
+        K_eq = np.asarray(M.dense(pairwise(EQ().diff(0, 0), x)))
+        off = ~np.eye(6, dtype=bool)
+        np.testing.assert_allclose(K[off], K_eq[off], rtol=1e-8)
+        assert np.all(np.isfinite(K))

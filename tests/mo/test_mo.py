@@ -140,3 +140,24 @@ def test_combined_joint_logpdf(setup):
     np.testing.assert_allclose(
         np.asarray(joint), np.asarray(lp1) + np.asarray(lp2), rtol=1e-8
     )
+
+
+def test_posterior_cross_process_marginals():
+    """Conditioning a multi-output model and evaluating the posterior cross
+    process must work: transposed cross-kernels (_SwappedKernel) defer their
+    dimensionality to the wrapped kernel (reference infer.py:72-73)."""
+    import stheno_tpu as st
+
+    m = st.Measure()
+    p1 = st.GP(st.EQ(), measure=m)
+    p2 = st.GP(st.Matern32(), measure=m)
+    pc = st.cross(p1, p2)
+    x = jnp.linspace(0, 5, 10)
+    key, y = m.sample(jax.random.PRNGKey(0), p1(x, 0.1))
+    post = m | (p1(x, 0.1), y[:, 0])
+    mean, var = post(pc)(x, 1e-2).marginals()
+    assert mean.shape == (20,) and var.shape == (20,)
+    # The p1 block of the cross posterior equals the posterior of p1.
+    mean1, var1 = post(p1(x, 1e-2)).marginals()
+    np.testing.assert_allclose(np.asarray(mean[:10]), np.asarray(mean1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(var[:10]), np.asarray(var1), rtol=1e-6)

@@ -291,3 +291,28 @@ def test_add_vector_shift():
         np.asarray(mean)[:, 0] + np.asarray(v),
         rtol=1e-12,
     )
+
+
+def test_callable_mean_eager_var():
+    """Normal(mean_fn, var) with an eager variance resolves the mean thunk
+    (regression: the callable itself was stored as the mean)."""
+    n = Normal(lambda: 2.0 * jnp.ones((3, 1)), jnp.eye(3))
+    assert n.mean.shape == (3, 1)
+    np.testing.assert_allclose(np.asarray(n.mean), 2.0 * np.ones((3, 1)))
+    assert np.isfinite(float(n.logpdf(jnp.ones(3))))
+
+
+def test_zero_mean_marginals_do_not_build_full_var():
+    """With a var_diag thunk and a symbolic-zero mean, marginals must not
+    materialise the full variance (the laziness contract the thunks exist
+    for, reference random.py:72-94)."""
+    calls = {"var": 0}
+
+    def var_fn():
+        calls["var"] += 1
+        return jnp.eye(4)
+
+    n = Normal(var_fn, var_diag=lambda: jnp.ones((4, 1)))
+    mean, var_diag = n.marginals()
+    assert mean.shape == (4,) and var_diag.shape == (4,)
+    assert calls["var"] == 0, "full variance was materialised"

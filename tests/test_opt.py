@@ -112,3 +112,33 @@ def test_hmc_sharded_chains():
     assert samples["w"].shape == (8, 200, 3)
     w = np.asarray(samples["w"]).reshape(-1, 3)
     np.testing.assert_allclose(np.std(w, axis=0), 1.0, atol=0.25)
+
+
+def test_unnamed_vars_replay_positionally():
+    """Unnamed parameters are positional: every objective evaluation reads
+    var0, var1, ... instead of registering fresh latents (regression: the
+    counter only ever incremented, making optimisation a silent no-op)."""
+    from stheno_tpu.opt import Vars, minimise_adam
+
+    vs = Vars()
+    f = lambda v: (v.unbounded(0.0) - 3.0) ** 2 + (v.positive(1.0) - 2.0) ** 2
+    final = minimise_adam(f, vs, iters=400, rate=0.1)
+    assert final < 1e-3
+    assert abs(float(vs["var0"]) - 3.0) < 0.05
+    assert abs(float(vs["var1"]) - 2.0) < 0.05
+
+
+def test_minimise_registers_params_on_fresh_vars():
+    """minimise_* must discover parameters by evaluating the objective once —
+    a fresh Vars is not silently optimised as an empty pytree."""
+    from stheno_tpu.opt import Vars, minimise_lbfgs
+
+    vs = Vars()
+    final = minimise_lbfgs(
+        lambda v: (v.unbounded(10.0, name="w") - 4.0) ** 2, vs, iters=50
+    )
+    assert final < 1e-6
+    assert abs(float(vs["w"]) - 4.0) < 1e-3
+
+    with pytest.raises(ValueError, match="no parameters"):
+        minimise_lbfgs(lambda v: jnp.asarray(1.0), Vars(), iters=2)
