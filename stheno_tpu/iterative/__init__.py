@@ -3,6 +3,13 @@ from .matvec import kernel_matvec
 from .nlml import iterative_nlml, iterative_posterior_mean
 from .pchol import pivoted_cholesky, woodbury_preconditioner
 from .slq import lanczos, slq_logdet
+from .toeplitz import (
+    circulant_spectrum,
+    grid_coords,
+    grid_iterative_nlml,
+    grid_matvec,
+    grid_posterior_mean,
+)
 
 __all__ = [
     "batched_cg",
@@ -13,4 +20,9 @@ __all__ = [
     "woodbury_preconditioner",
     "lanczos",
     "slq_logdet",
+    "circulant_spectrum",
+    "grid_coords",
+    "grid_iterative_nlml",
+    "grid_matvec",
+    "grid_posterior_mean",
 ]
