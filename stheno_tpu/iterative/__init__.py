@@ -10,6 +10,12 @@ from .toeplitz import (
     grid_matvec,
     grid_posterior_mean,
 )
+from .kron import (
+    kron_gram_factors,
+    kron_matvec,
+    kron_nlml,
+    kron_posterior,
+)
 
 __all__ = [
     "batched_cg",
@@ -25,4 +31,8 @@ __all__ = [
     "grid_iterative_nlml",
     "grid_matvec",
     "grid_posterior_mean",
+    "kron_gram_factors",
+    "kron_matvec",
+    "kron_nlml",
+    "kron_posterior",
 ]

@@ -1,0 +1,277 @@
+"""Exact GP inference on tensor-product grids via Kronecker structure.
+
+When inputs form a d-dimensional tensor grid ``X = axes_1 x ... x axes_d``
+(axes need NOT be uniformly spaced) and the kernel is separable across
+dimensions — ``k(x, y) = prod_i k_i(x_i, y_i)``, which covers EQ with any
+per-axis stretch and arbitrary products of per-axis 1-D kernels — the Gram
+matrix is a Kronecker product ``K = K_1 (x) ... (x) K_d`` of small per-axis
+Grams. Eigendecomposing each factor (Saatci, "Scalable Inference for
+Structured Gaussian Process Models", 2011) diagonalises ``K + s2 I`` at
+O(sum n_i^3) factor cost plus O(N sum n_i) Kronecker matvecs, so NLML,
+its gradient, and posterior mean/variance are all **exact** — unlike the
+stochastic CG/SLQ estimates of ``iterative/nlml.py`` — at N far beyond the
+dense Cholesky path.
+
+Complements the circulant path (``iterative/toeplitz.py``): that one needs
+*uniform* axes but allows non-separable stationary kernels and costs
+O(N log N); this one allows *non-uniform* axes and non-stationary per-axis
+kernels but needs separability, and its logdet/gradients carry no Monte
+Carlo noise.
+
+TPU mapping: the whole computation is d mode-matmuls per operator
+application — large GEMMs of shape (n_i, N/n_i) that tile straight onto
+the MXU — plus per-axis ``eigh`` factorisations that XLA lowers natively.
+
+Gradients: NLML gradients are supplied by an analytic custom VJP expressed
+in the eigenbasis (partial traces of ``(K + s2 I)^{-1} - alpha alpha^T``
+against the co-factors), NOT by differentiating ``eigh`` — kernel Grams
+are numerically rank-deficient, and the eigh JVP's ``1/(lam_i - lam_j)``
+factors blow up on their clustered near-zero eigenvalues.
+
+The reference has no analogue: its only levers on N are pseudo-point
+approximations (``/root/reference/stheno/model/observations.py:279-336``).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..kernels import elwise, pairwise
+from ..matrix import dense
+from .toeplitz import _as_axes, grid_coords
+
+__all__ = ["kron_gram_factors", "kron_matvec", "kron_nlml", "kron_posterior"]
+
+_LOG_2_PI = math.log(2 * math.pi)
+
+
+def _mode_apply(M, T, axis):
+    """Apply matrix ``M`` (m, n_axis) along ``axis`` of tensor ``T`` —
+    one (m, n_axis) x (n_axis, N/n_axis) GEMM."""
+    T = jnp.moveaxis(T, axis, 0)
+    shp = T.shape
+    out = M @ T.reshape(shp[0], -1)
+    return jnp.moveaxis(out.reshape((M.shape[0],) + shp[1:]), 0, axis)
+
+
+def _mat(T, axis):
+    """Mode-``axis`` matricisation: (n_axis, N/n_axis)."""
+    return jnp.moveaxis(T, axis, 0).reshape(T.shape[axis], -1)
+
+
+def _lam_outer(lams, replace=None):
+    """Tensor of products ``prod_j v_j[k_j]`` where ``v_j = lams[j]``,
+    except ``v_replace = 1``; shape ``(n_1, ..., n_d)``."""
+    cur = jnp.ones((), lams[0].dtype)
+    for j, lam in enumerate(lams):
+        v = jnp.ones_like(lam) if j == replace else lam
+        cur = cur[..., None] * v
+    return cur
+
+
+def kron_gram_factors(kernels, axes):
+    """Per-axis dense Grams ``K_i = k_i(axes_i, axes_i)`` as jnp arrays."""
+    axes = _as_axes(axes)
+    if len(kernels) != len(axes):
+        raise ValueError(
+            f"Got {len(kernels)} kernels for {len(axes)} grid axes."
+        )
+    return tuple(
+        jnp.asarray(dense(pairwise(k, a[:, None])))
+        for k, a in zip(kernels, axes)
+    )
+
+
+@config.pin_matmul_precision
+def kron_matvec(kernels, axes, v, *, noise=None):
+    """Compute ``(K_1 (x) ... (x) K_d [+ noise I]) @ v`` in O(N sum n_i).
+
+    Args:
+        kernels: one 1-D kernel per grid axis (the product kernel is
+            ``prod_i k_i``).
+        axes: 1-D array or tuple of 1-D arrays (need not be uniform).
+        v: ``(n,)`` or ``(n, p)``, rows in ``grid_coords`` (row-major) order.
+        noise: optional scalar or ``(n,)`` diagonal noise.
+    """
+    axes = _as_axes(axes)
+    Ks = kron_gram_factors(kernels, axes)
+    shape = tuple(K.shape[0] for K in Ks)
+    n = math.prod(shape)
+    v_in = jnp.asarray(v)
+    v2 = v_in[:, None] if v_in.ndim == 1 else v_in
+    if v2.shape[0] != n:
+        raise ValueError(f"v has {v2.shape[0]} rows; the grid has {n} points.")
+
+    def apply_col(col):
+        T = col.reshape(shape)
+        for i, K in enumerate(Ks):
+            T = _mode_apply(K, T, i)
+        return T.reshape(-1)
+
+    out = jax.vmap(apply_col, in_axes=1, out_axes=1)(v2)
+    if noise is not None:
+        noise = jnp.asarray(noise)
+        out = out + (noise[:, None] if noise.ndim == 1 else noise) * v2
+    return out[:, 0] if v_in.ndim == 1 else out
+
+
+def _eig_solve(Ks, noise, y_t):
+    """Eigendecompose the factors and solve ``(K + noise I) alpha = y``.
+
+    Returns ``(Qs, lams, D, y_til, alpha_t)`` with ``y_til = Qkron^T y`` and
+    ``alpha_t`` the alpha *tensor*. Factor eigenvalues are clamped at zero:
+    kernel Grams are PSD, so negative eigenvalues are pure rounding, and
+    clamping keeps the Kronecker products from flipping sign."""
+    Qs, lams = [], []
+    for K in Ks:
+        lam, Q = jnp.linalg.eigh(K)
+        lams.append(jnp.maximum(lam, 0))
+        Qs.append(Q)
+    D = _lam_outer(lams) + noise
+    y_til = y_t
+    for i, Q in enumerate(Qs):
+        y_til = _mode_apply(Q.T, y_til, i)
+    a_til = y_til / D
+    alpha_t = a_til
+    for i, Q in enumerate(Qs):
+        alpha_t = _mode_apply(Q, alpha_t, i)
+    return Qs, lams, D, y_til, alpha_t
+
+
+@jax.custom_vjp
+def _kron_nlml_core(Ks, noise, y_t):
+    """Exact zero-mean NLML of ``N(0, kron(Ks) + noise I)`` at the tensor
+    ``y_t``; analytic VJP w.r.t. the factor Grams (no eigh differentiation)."""
+    val, _ = _kron_core_fwd(Ks, noise, y_t)
+    return val
+
+
+@config.pin_matmul_precision
+def _kron_core_fwd(Ks, noise, y_t):
+    n = math.prod(y_t.shape)
+    Qs, lams, D, y_til, alpha_t = _eig_solve(Ks, noise, y_t)
+    logdet = jnp.sum(jnp.log(D))
+    quad = jnp.sum(y_til * y_til / D)
+    nlml = 0.5 * (logdet + quad + n * _LOG_2_PI)
+    return nlml, (Ks, Qs, lams, D, alpha_t)
+
+
+@config.pin_matmul_precision
+def _kron_core_bwd(res, g):
+    # d NLML = 0.5 <(K + s2 I)^{-1} - alpha alpha^T, dK>, and for the
+    # Kronecker perturbation dK = sum_i K_1 (x) .. dK_i .. (x) K_d the
+    # pairing reduces to per-factor partial traces:
+    #   logdet part:  Q_i diag(w_i) Q_i^T,
+    #       w_i[m] = sum_{k: k_i = m} prod_{j != i} lam_j[k_j] / D[k]
+    #   quad part:    mat_i(alpha) (kron_{j != i} K_j) mat_i(alpha)^T.
+    Ks, Qs, lams, D, alpha_t = res
+    d = len(Ks)
+    K_bars = []
+    for i in range(d):
+        P = _lam_outer(lams, replace=i) / D
+        w = jnp.moveaxis(P, i, 0).reshape(P.shape[i], -1).sum(axis=1)
+        G_inv = (Qs[i] * w) @ Qs[i].T
+        C = alpha_t
+        for j in range(d):
+            if j != i:
+                C = _mode_apply(Ks[j], C, j)
+        B = _mat(alpha_t, i) @ _mat(C, i).T
+        K_bars.append(0.5 * g * (G_inv - B))
+    noise_bar = 0.5 * g * (jnp.sum(1.0 / D) - jnp.sum(alpha_t * alpha_t))
+    y_bar = g * alpha_t
+    return tuple(K_bars), noise_bar, y_bar
+
+
+_kron_nlml_core.defvjp(_kron_core_fwd, _kron_core_bwd)
+
+
+@config.pin_matmul_precision
+def kron_nlml(kernel_fns, params, axes, y, noise):
+    """Exact NLML of a separable-kernel GP on a tensor grid.
+
+    ``-log N(y | 0, kron_i k_i(axes_i, axes_i) + noise I)`` — exact value
+    AND exact gradients (w.r.t. ``params``, ``noise``, ``y``, and the axis
+    coordinates), at O(sum n_i^3 + N sum n_i) cost.
+
+    Args:
+        kernel_fns: ``params -> sequence of per-axis kernels`` (the model
+            kernel is their product over dimensions).
+        params: parameter pytree.
+        axes: 1-D array or tuple of 1-D arrays; need not be uniform.
+        y: observations ``(n,)`` flattened in ``grid_coords`` order.
+        noise: scalar observation-noise variance (Kronecker solves require
+            an isotropic diagonal).
+    """
+    axes = _as_axes(axes)
+    kernels = tuple(kernel_fns(params))
+    noise = jnp.asarray(noise)
+    if noise.ndim != 0:
+        raise ValueError(
+            "kron_nlml requires scalar observation noise; per-point noise "
+            "breaks the Kronecker eigenstructure."
+        )
+    Ks = kron_gram_factors(kernels, axes)
+    shape = tuple(K.shape[0] for K in Ks)
+    y_t = jnp.asarray(y).reshape(shape)
+    return _kron_nlml_core(Ks, noise, y_t)
+
+
+@config.pin_matmul_precision
+def kron_posterior(kernel_fns, params, axes, y, noise, x_new):
+    """Exact posterior mean and (latent) variance at arbitrary ``x_new``
+    from tensor-grid observations.
+
+    Per query point the cross-covariance to the whole grid is a rank-1
+    tensor ``kron_i k_i(x_p_i, axes_i)``, so both the mean contraction and
+    the variance reduction ``k_*^T (K + noise I)^{-1} k_*`` stay
+    O(N) per point — d mode contractions, no N x m cross Gram.
+
+    Returns:
+        ``(mean, var)`` of the latent ``f(x_new)``, each ``(m,)``.
+    """
+    axes = _as_axes(axes)
+    kernels = tuple(kernel_fns(params))
+    noise = jnp.asarray(noise)
+    if noise.ndim != 0:
+        raise ValueError("kron_posterior requires scalar observation noise.")
+    Ks = kron_gram_factors(kernels, axes)
+    shape = tuple(K.shape[0] for K in Ks)
+    d = len(shape)
+    y_t = jnp.asarray(y).reshape(shape)
+    Qs, lams, D, _, alpha_t = _eig_solve(Ks, noise, y_t)
+
+    xn = jnp.asarray(x_new)
+    if xn.ndim == 1:
+        xn = xn[:, None]
+    if xn.shape[1] != d:
+        raise ValueError(f"x_new has {xn.shape[1]} columns; the grid has {d}.")
+    # Per-axis cross matrices C_i (m, n_i) and their eigen-projections.
+    Cs = [
+        jnp.asarray(dense(pairwise(k, xn[:, i : i + 1], a[:, None])))
+        for i, (k, a) in enumerate(zip(kernels, axes))
+    ]
+
+    def _contract(T, mats):
+        # sum_k prod_i mats_i[p, k_i] T[k]  for every query point p.
+        R = jnp.einsum("pa,a...->p...", mats[0], T)
+        for M in mats[1:]:
+            R = jnp.einsum("pb,pb...->p...", M, R)
+        return R
+
+    mean = _contract(alpha_t, Cs)
+    Es = [C @ Q for C, Q in zip(Cs, Qs)]
+    reduction = _contract(1.0 / D, [E * E for E in Es])
+    prior = jnp.prod(
+        jnp.stack(
+            [
+                elwise(k, xn[:, i : i + 1])[:, 0]
+                for i, k in enumerate(kernels)
+            ]
+        ),
+        axis=0,
+    )
+    var = jnp.maximum(prior - reduction, 0.0)
+    return mean, var

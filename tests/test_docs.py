@@ -4,6 +4,7 @@ namespace per file — the documentation equivalent of the reference's
 
 import pathlib
 import re
+import textwrap
 
 import pytest
 
@@ -14,7 +15,8 @@ _BLOCK_RE = re.compile(r"```python\n(.*?)```", re.DOTALL)
 
 def _blocks(name):
     text = (DOCS / name).read_text()
-    return _BLOCK_RE.findall(text)
+    # Dedent: blocks nested under list items are indented in the source.
+    return [textwrap.dedent(b) for b in _BLOCK_RE.findall(text)]
 
 
 @pytest.mark.parametrize("doc", ["manual.md", "scaling.md"])
