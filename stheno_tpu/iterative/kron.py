@@ -124,13 +124,18 @@ def _eig_solve(Ks, noise, y_t):
     Returns ``(Qs, lams, D, y_til, alpha_t)`` with ``y_til = Qkron^T y`` and
     ``alpha_t`` the alpha *tensor*. Factor eigenvalues are clamped at zero:
     kernel Grams are PSD, so negative eigenvalues are pure rounding, and
-    clamping keeps the Kronecker products from flipping sign."""
+    clamping keeps the Kronecker products from flipping sign. ``D`` is
+    floored at the dtype-aware jitter so that ``noise == 0`` with
+    rank-deficient factors (eigenvalues clamped to exactly 0) cannot
+    produce an infinite logdet / NaN gradient — consistent with the dense
+    path's ``config.jitter`` policy."""
     Qs, lams = [], []
     for K in Ks:
         lam, Q = jnp.linalg.eigh(K)
         lams.append(jnp.maximum(lam, 0))
         Qs.append(Q)
     D = _lam_outer(lams) + noise
+    D = jnp.maximum(D, config.jitter(D.dtype))
     y_til = y_t
     for i, Q in enumerate(Qs):
         y_til = _mode_apply(Q.T, y_til, i)
@@ -166,19 +171,35 @@ def _kron_core_bwd(res, g):
     # pairing reduces to per-factor partial traces:
     #   logdet part:  Q_i diag(w_i) Q_i^T,
     #       w_i[m] = sum_{k: k_i = m} prod_{j != i} lam_j[k_j] / D[k]
-    #   quad part:    mat_i(alpha) (kron_{j != i} K_j) mat_i(alpha)^T.
+    #   quad part:    mat_i(alpha) (kron_{j != i} Kc_j) mat_i(alpha)^T
+    # where Kc_j = Q_j diag(max(lam_j, 0)) Q_j^T is the *clamped*
+    # reconstruction — the forward pass clamps factor eigenvalues at zero,
+    # so the gradient must describe the same (clamped) operator, not the
+    # raw Gram (a real fwd/bwd inconsistency in float32 when a factor is
+    # numerically indefinite).
     Ks, Qs, lams, D, alpha_t = res
     d = len(Ks)
+    Kcs = [(Q * lam) @ Q.T for Q, lam in zip(Qs, lams)]
+    # The co-factor contraction kron_{j != i} Kc_j splits as
+    # (kron_{j<i} Kc_j)(kron_{j>i} Kc_j); each Kc_j is symmetric, so the
+    # prefix half moves onto the left matricisation factor:
+    #   B_i = mat_i(Pref_i) @ mat_i(Sufx_i)^T,
+    # with Pref_i = (kron_{j<i} Kc_j) alpha and Sufx_i = (kron_{j>i} Kc_j)
+    # alpha. Prefix/suffix tensors cost 2(d-1) mode-matmuls total — O(d)
+    # instead of the naive O(d^2) per-factor rebuild.
+    prefs = [alpha_t]
+    for j in range(d - 1):
+        prefs.append(_mode_apply(Kcs[j], prefs[-1], j))
+    sufxs = [alpha_t]
+    for j in range(d - 1, 0, -1):
+        sufxs.append(_mode_apply(Kcs[j], sufxs[-1], j))
+    sufxs.reverse()  # sufxs[i] = (kron_{j>i} Kc_j) alpha.
     K_bars = []
     for i in range(d):
         P = _lam_outer(lams, replace=i) / D
         w = jnp.moveaxis(P, i, 0).reshape(P.shape[i], -1).sum(axis=1)
         G_inv = (Qs[i] * w) @ Qs[i].T
-        C = alpha_t
-        for j in range(d):
-            if j != i:
-                C = _mode_apply(Ks[j], C, j)
-        B = _mat(alpha_t, i) @ _mat(C, i).T
+        B = _mat(prefs[i], i) @ _mat(sufxs[i], i).T
         K_bars.append(0.5 * g * (G_inv - B))
     noise_bar = 0.5 * g * (jnp.sum(1.0 / D) - jnp.sum(alpha_t * alpha_t))
     y_bar = g * alpha_t

@@ -137,3 +137,56 @@ def test_kron_rejects_vector_noise_and_mismatch():
         kron_matvec((EQ(),), AXES_2D, y)
     with pytest.raises(ValueError, match="columns"):
         kron_posterior(_kf, PARAMS, AXES_2D, y, 0.1, jnp.zeros((4, 3)))
+
+
+def test_kron_nlml_zero_noise_rank_deficient_finite():
+    # With noise == 0 and a numerically rank-deficient factor (a smooth EQ
+    # Gram on many close points has eigenvalues clamped to exactly 0) the
+    # eigenbasis diagonal D would contain zeros; the dtype-aware jitter
+    # floor must keep the NLML and all gradients finite.
+    axes = (jnp.linspace(0.0, 1.0, 16), jnp.linspace(0.0, 1.0, 8))
+    y = jnp.asarray(np.random.RandomState(5).randn(128)) * 1e-3
+    val, grads = jax.value_and_grad(
+        lambda p: kron_nlml(_kf, p, axes, y, 0.0)
+    )(PARAMS)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(grads))
+
+
+def test_kron_bwd_clamp_consistency_3d():
+    # Three axes exercise the prefix/suffix co-factor products in the
+    # analytic backward; parity against the dense DSL gradient checks both
+    # the O(d) rewrite and the clamped-reconstruction quad term.
+    axes = (jnp.linspace(0, 1, 4), jnp.linspace(0, 2, 5), jnp.linspace(0, 1, 3))
+
+    def kf3(p):
+        ell = jnp.exp(p["log_ell"])
+        return (
+            jnp.exp(p["log_s2"]) * EQ().stretch(ell[0]),
+            Matern52().stretch(ell[1]),
+            EQ().stretch(ell[0]),
+        )
+
+    y = jnp.asarray(np.random.RandomState(6).randn(60))
+
+    def dense_nlml(p):
+        Ks = kron_gram_factors(kf3(p), axes)
+        K = Ks[0]
+        for Ki in Ks[1:]:
+            K = jnp.kron(K, Ki)
+        Kn = K + 0.1 * jnp.eye(60)
+        L = jnp.linalg.cholesky(Kn)
+        a = jax.scipy.linalg.cho_solve((L, True), y)
+        return 0.5 * (
+            2 * jnp.sum(jnp.log(jnp.diag(L)))
+            + y @ a
+            + 60 * jnp.log(2 * jnp.pi)
+        )
+
+    val, grads = jax.value_and_grad(
+        lambda p: kron_nlml(kf3, p, axes, y, 0.1)
+    )(PARAMS)
+    val_ref, grads_ref = jax.value_and_grad(dense_nlml)(PARAMS)
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-9)
+    for leaf, ref in zip(jax.tree.leaves(grads), jax.tree.leaves(grads_ref)):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref), rtol=1e-6)
