@@ -148,6 +148,44 @@ def test_under_autodiff_detection():
         assert seen[tag], f"autodiff not detected under {tag}"
 
 
+def test_auto_policy_selects_fast_under_grad(monkeypatch):
+    """Drift guard: under ``jax.grad`` the auto policy must actually select
+    the GEMM-recursion fast path (with the accelerator gate patched on —
+    CI runs on CPU). If a JAX upgrade changes tracer internals so
+    ``_under_autodiff`` stops firing, this fails loudly instead of silently
+    degrading every gradient to the slow path."""
+    from stheno_tpu.matrix import ops as mops
+
+    monkeypatch.setattr(mops, "_is_accelerator_backend", lambda: True)
+    selected = {}
+
+    def probe(tag, transform, x):
+        def f(a):
+            A = a[:, None] * _spd(1100, seed=21) * a[None, :]
+            selected[tag] = mops._auto_policy_use_fast(A)
+            return jnp.sum(A)
+
+        transform(f)(x)
+
+    x = jnp.ones(1100)
+    probe("value", jax.jit, x)
+    probe("grad", jax.grad, x)
+    probe("jit_grad", lambda f: jax.jit(jax.grad(f)), x)
+    assert not selected["value"]
+    assert selected["grad"], "fast path not selected under jax.grad"
+    assert selected["jit_grad"], "fast path not selected under jit(grad)"
+    # Below the size threshold the fast path must stay off even under grad.
+    small = {}
+
+    def g(a):
+        A = a[:, None] * _spd(64, seed=22) * a[None, :]
+        small["v"] = mops._auto_policy_use_fast(A)
+        return jnp.sum(A)
+
+    jax.grad(g)(jnp.ones(64))
+    assert not small["v"]
+
+
 def test_auto_policy_value_grad_consistency():
     """Under the auto policy the impl may differ between a value-only call
     and a differentiated call; both must produce a valid factor and matching
