@@ -17,6 +17,8 @@ import numpy as np
 from ..matrix import (
     AbstractMatrix,
     Diagonal,
+    LowRank,
+    Woodbury,
     Zero,
     as_matrix,
     add,
@@ -293,6 +295,19 @@ class Normal(RandomVector):
         resid = m[:, None] * jnp.nan_to_num(x - mean)
         if isinstance(var, Diagonal):
             masked = Diagonal(m * var.diag + (1.0 - m))
+        elif isinstance(var, Woodbury):
+            # Mask rows/columns of the low-rank factors and the diagonal —
+            # the result is again a Woodbury, so logdet/iqf keep their
+            # O(N r^2) closed forms (matrix-determinant lemma / Woodbury
+            # identity) instead of densifying. The masked diagonal gets
+            # ones at the marginalised rows, exactly like the dense path.
+            lr = var.lr
+            left = m[..., :, None] * lr.left
+            right = None if lr.right is None else m[..., :, None] * lr.right
+            masked = Woodbury(
+                Diagonal(m * var.diag.diag + (1.0 - m)),
+                LowRank(left, right, middle=lr.middle),
+            )
         else:
             K = jnp.asarray(dense(var))
             masked = as_matrix(

@@ -316,3 +316,56 @@ def test_zero_mean_marginals_do_not_build_full_var():
     mean, var_diag = n.marginals()
     assert mean.shape == (4,) and var_diag.shape == (4,)
     assert calls["var"] == 0, "full variance was materialised"
+
+
+def test_masked_logpdf_woodbury_structured():
+    """Masked logpdf of a Woodbury variance (the BLR posterior shape) must
+    keep the Woodbury structure — O(N r^2), no densification — and match
+    the dropped-rows dense reference on the observed rows, value and
+    gradient."""
+    r = np.random.RandomState(11)
+    n, rank = 60, 3
+    left = jnp.asarray(r.randn(n, rank))
+    mid = r.randn(rank, rank)
+    mid = jnp.asarray(mid @ mid.T + rank * np.eye(rank))
+    d = jnp.asarray(r.rand(n) + 0.5)
+    var = M.Woodbury(M.Diagonal(d), M.LowRank(left, middle=mid))
+    mean = jnp.asarray(r.randn(n, 1))
+    dist = Normal(mean, var)
+    mask_np = r.rand(n) > 0.3
+    keep = np.flatnonzero(mask_np)
+    x = r.randn(n)
+    ref = multivariate_normal.logpdf(
+        x[keep],
+        np.asarray(mean)[keep, 0],
+        np.asarray(M.dense(var))[np.ix_(keep, keep)],
+    )
+    got = dist.logpdf(jnp.asarray(x[:, None]), mask=jnp.asarray(mask_np))
+    approx(got, ref, rtol=1e-8)
+    # Gradient flows through the structured path (jit + NaN poison-proof).
+    x_nan = np.where(mask_np, x, np.nan)
+    g = jax.jit(
+        jax.grad(
+            lambda xx: dist.logpdf(
+                jnp.nan_to_num(xx), mask=jnp.asarray(mask_np)
+            )
+        )
+    )(jnp.asarray(x_nan[:, None]))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_masked_logpdf_woodbury_large_n_fast():
+    """At N = 50,000 the masked Woodbury logpdf must run in O(N r^2):
+    densifying would allocate a 20 GB matrix and die. Completing at all is
+    the assertion."""
+    r = np.random.RandomState(12)
+    n, rank = 50_000, 4
+    left = jnp.asarray(r.randn(n, rank))
+    var = M.Woodbury(
+        M.Diagonal(jnp.full((n,), 0.5)), M.LowRank(left)
+    )
+    dist = Normal(jnp.zeros((n, 1)), var)
+    mask = jnp.asarray(r.rand(n) > 0.1)
+    x = jnp.asarray(r.randn(n, 1))
+    val = dist.logpdf(x, mask=mask)
+    assert np.isfinite(float(val))
