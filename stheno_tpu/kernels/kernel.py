@@ -29,6 +29,7 @@ from ..matrix import (
     LowRank,
     Zero,
     add as mat_add,
+    dense as mat_dense,
     multiply as mat_multiply,
     scale as mat_scale,
 )
@@ -549,11 +550,14 @@ class Delta(Kernel):
     def _pairwise(self, x, y):
         if x is y:
             return Diagonal(jnp.ones(x.shape[:-1], dtype=x.dtype))
-        # Exact differences (not the matmul identity): equality must be exact
-        # even when values coincide to the last bit.
-        d2 = jnp.sum(
-            (x[..., :, None, :] - y[..., None, :, :]) ** 2, axis=-1
-        )
+        # Exact differences (not the matmul identity, whose ~||x||^2 * eps
+        # cancellation error could exceed epsilon^2 for coincident points):
+        # accumulated per input dimension so peak memory is O(n m), not the
+        # O(n m d) broadcast tensor.
+        d2 = None
+        for j in range(x.shape[-1]):
+            diff = x[..., :, None, j] - y[..., None, :, j]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
         return Dense(jnp.asarray(d2 <= self.epsilon**2, dtype=x.dtype))
 
     def _elwise(self, x, y):
@@ -1173,23 +1177,104 @@ class DerivativeKernel(Kernel):
     def _scalar(self, x, y):
         return self._deriv_scalar_fn()(x, y)
 
+    def _eq_parts(self):
+        """Decompose the wrapped kernel as ``scale * exp(-0.5 ||a1*x -
+        a2*y||^2)`` when it is a (possibly scaled, possibly stretched) EQ —
+        the common case of derivative conditioning (``readme_example5``).
+        Returns ``(a1, a2)`` per-dim inverse stretches (``None`` meaning 1)
+        or ``None`` when no closed form applies. The scale needs no
+        tracking: the derivative factors multiply the *full* base Gram."""
+        k = self.k
+        a1 = a2 = None
+        while True:
+            if isinstance(k, ScaledKernel):
+                k = k.k
+            elif isinstance(k, StretchedKernel):
+                s1 = jnp.asarray(k.s1)
+                s2 = s1 if k.s2 is k.s1 else jnp.asarray(k.s2)
+                if s1.ndim > 1 or s2.ndim > 1:
+                    return None
+                a1 = (1.0 / s1) if a1 is None else a1 / s1
+                a2 = (1.0 / s2) if a2 is None else a2 / s2
+                k = k.k
+            elif isinstance(k, EQ):
+                return a1, a2
+            else:
+                return None
+
+    @staticmethod
+    def _coef(a, d):
+        if a is None:
+            return 1.0
+        return a if a.ndim == 0 else a[d]
+
+    def _closed_form_factors(self, x, y, pair):
+        """The multiplicative derivative factors for a (scaled/stretched) EQ
+        base: closed-form, O(n m), batch-broadcasting. ``pair`` selects the
+        pairwise (outer) or elwise (aligned) difference layout."""
+        parts = self._eq_parts()
+        if parts is None:
+            return None
+        a1, a2 = parts
+
+        def delta(d):
+            xd = self._coef(a1, d) * x[..., :, d]
+            yd = self._coef(a2, d) * y[..., :, d]
+            if pair:
+                return xd[..., :, None] - yd[..., None, :]
+            return xd - yd
+
+        d1, d2 = self.d1, self.d2
+        # k = scale * exp(-0.5 ||u - v||^2), u = a1*x, v = a2*y:
+        #   dk/dx_d1        = -a1_d1 * Delta_d1 * k
+        #   dk/dy_d2        = +a2_d2 * Delta_d2 * k
+        #   d2k/dx_d1 dy_d2 = a1_d1 a2_d2 (delta_{d1 d2} - Delta_d1 Delta_d2) k
+        if d1 is not None and d2 is not None:
+            dd = 1.0 if d1 == d2 else 0.0
+            return (
+                self._coef(a1, d1)
+                * self._coef(a2, d2)
+                * (dd - delta(d1) * delta(d2))
+            )
+        if d1 is not None:
+            return -self._coef(a1, d1) * delta(d1)
+        if d2 is not None:
+            return self._coef(a2, d2) * delta(d2)
+        return jnp.asarray(1.0, x.dtype)
+
+    def _batched(self, fm, x, y):
+        """vmap ``fm`` over broadcast leading batch dimensions."""
+        b = jnp.broadcast_shapes(x.shape[:-2], y.shape[:-2])
+        xb = jnp.broadcast_to(x, b + x.shape[-2:]).reshape((-1,) + x.shape[-2:])
+        yb = jnp.broadcast_to(y, b + y.shape[-2:]).reshape((-1,) + y.shape[-2:])
+        out = jax.vmap(fm)(xb, yb)
+        return out.reshape(b + out.shape[1:])
+
     def _pairwise(self, x, y):
+        factors = self._closed_form_factors(x, y, pair=True)
+        if factors is not None:
+            return Dense(
+                factors * jnp.asarray(mat_dense(self.k._pairwise(x, y)))
+            )
         f = self._deriv_scalar_fn()
         fm = jax.vmap(jax.vmap(f, in_axes=(None, 0)), in_axes=(0, None))
-        if x.ndim > 2:
-            raise NotImplementedError(
-                "Batched inputs are not supported for derivative kernels."
-            )
+        if x.ndim > 2 or y.ndim > 2:
+            return Dense(self._batched(fm, x, y))
         return Dense(fm(x, y))
 
     def _elwise(self, x, y):
+        if y is not x:
+            y = jnp.broadcast_to(y, x.shape)
+        factors = self._closed_form_factors(x, y, pair=False)
+        if factors is not None:
+            base = self.k._elwise(x, y)
+            if jnp.ndim(factors) >= 1:
+                factors = factors[..., :, None]
+            return factors * base
         f = self._deriv_scalar_fn()
         fv = jax.vmap(f)
         if x.ndim > 2:
-            raise NotImplementedError(
-                "Batched inputs are not supported for derivative kernels."
-            )
-        y = jnp.broadcast_to(y, x.shape)
+            return self._batched(fv, x, y)[..., None]
         return fv(x, y)[:, None]
 
     @property

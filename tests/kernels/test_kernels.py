@@ -425,3 +425,99 @@ def test_derivative_of_noisy_kernel_expression():
         off = ~np.eye(6, dtype=bool)
         np.testing.assert_allclose(K[off], K_eq[off], rtol=1e-8)
         assert np.all(np.isfinite(K))
+
+
+def _autodiff_deriv_gram(k, d1, d2, x, y):
+    """Reference derivative Gram via per-entry autodiff (bypasses the closed
+    form by calling the nested-grad scalar function directly)."""
+    from stheno_tpu.kernels.kernel import DerivativeKernel
+
+    dk = DerivativeKernel(k, d1, d2)
+    f = dk._deriv_scalar_fn()
+    fm = jax.vmap(jax.vmap(f, in_axes=(None, 0)), in_axes=(0, None))
+    return np.asarray(fm(x, y))
+
+
+@pytest.mark.parametrize("d1,d2", [(0, 0), (0, 1), (1, 0), (0, None), (None, 1)])
+def test_derivative_closed_form_matches_autodiff(d1, d2):
+    """The EQ closed-form derivative fast path (scaled + stretched variants,
+    scalar and per-dim stretches) must agree with per-entry autodiff."""
+    r = np.random.RandomState(5)
+    x = jnp.asarray(r.randn(6, 2))
+    y = jnp.asarray(r.randn(4, 2))
+    cases = [
+        EQ(),
+        2.5 * EQ(),
+        EQ().stretch(0.7),
+        EQ().stretch(jnp.asarray([0.5, 1.3])),
+        (1.7 * EQ()).stretch(0.9),
+        3.0 * EQ().stretch(jnp.asarray([0.8, 2.0])).stretch(1.1),
+    ]
+    from stheno_tpu.kernels.kernel import DerivativeKernel
+
+    for k in cases:
+        dk = DerivativeKernel(k, d1, d2)
+        assert dk._eq_parts() is not None, f"no closed form for {k}"
+        K = np.asarray(M.dense(pairwise(dk, x, y)))
+        ref = _autodiff_deriv_gram(k, d1, d2, x, y)
+        np.testing.assert_allclose(K, ref, rtol=1e-8, atol=1e-10)
+        # Elwise agrees with the Gram diagonal.
+        el = np.asarray(elwise(dk, x, x))[:, 0]
+        Kxx = np.asarray(M.dense(pairwise(dk, x, x)))
+        np.testing.assert_allclose(el, np.diag(Kxx), rtol=1e-8, atol=1e-10)
+
+
+def test_derivative_no_closed_form_for_other_kernels():
+    from stheno_tpu.kernels.kernel import DerivativeKernel
+
+    assert DerivativeKernel(Matern52(), 0, 0)._eq_parts() is None
+    assert DerivativeKernel(EQ() + Linear(), 0, 0)._eq_parts() is None
+    # Asymmetric stretch still has a closed form.
+    from stheno_tpu.kernels.kernel import StretchedKernel
+
+    k = StretchedKernel(EQ(), jnp.asarray(0.5), jnp.asarray(1.5))
+    dk = DerivativeKernel(k, 0, 0)
+    assert dk._eq_parts() is not None
+    x = jnp.asarray(np.random.RandomState(6).randn(5, 1))
+    y = jnp.asarray(np.random.RandomState(7).randn(3, 1))
+    K = np.asarray(M.dense(pairwise(dk, x, y)))
+    ref = _autodiff_deriv_gram(k, 0, 0, x, y)
+    np.testing.assert_allclose(K, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_derivative_kernel_batched():
+    """Batched inputs flow through derivative Grams: the EQ closed form by
+    broadcasting, other kernels via the vmapped fallback."""
+    r = np.random.RandomState(8)
+    xb = jnp.asarray(r.randn(3, 5, 2))
+    yb = jnp.asarray(r.randn(3, 4, 2))
+    for k in (EQ(), Matern52() * EQ()):
+        dk = k.diff(0, 0)
+        K = M.dense(pairwise(dk, xb, yb))
+        assert K.shape == (3, 5, 4)
+        for b in range(3):
+            ref = np.asarray(M.dense(pairwise(dk, xb[b], yb[b])))
+            np.testing.assert_allclose(np.asarray(K)[b], ref, rtol=1e-7, atol=1e-9)
+        el = elwise(dk, xb, xb)
+        assert el.shape == (3, 5, 1)
+        for b in range(3):
+            refd = np.diag(np.asarray(M.dense(pairwise(dk, xb[b], xb[b]))))
+            np.testing.assert_allclose(
+                np.asarray(el)[b, :, 0], refd, rtol=1e-7, atol=1e-9
+            )
+
+
+def test_delta_pairwise_exactness_and_memory_layout():
+    """Delta cross-Gram: exact equality semantics (bit-identical rows match
+    even after the O(nm)-memory rewrite), and batched shapes."""
+    r = np.random.RandomState(9)
+    x = jnp.asarray(r.randn(6, 3))
+    y = jnp.concatenate([x[2:4], jnp.asarray(r.randn(3, 3))])
+    K = np.asarray(M.dense(pairwise(Delta(), x, y)))
+    expect = np.zeros((6, 5))
+    expect[2, 0] = 1.0
+    expect[3, 1] = 1.0
+    np.testing.assert_array_equal(K, expect)
+    xb = jnp.asarray(r.randn(2, 4, 3))
+    Kb = M.dense(pairwise(Delta(), xb, xb[:, :2]))
+    assert Kb.shape == (2, 4, 2)
