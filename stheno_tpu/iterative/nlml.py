@@ -2,15 +2,21 @@
 
 The scalable-exact-GP training path for N where the N x N Gram cannot be
 materialised (BASELINE.json north star: N = 262,144 on limited HBM). The
-forward pass runs preconditioned CG for ``K^{-1}[y, Z]`` and SLQ for
-``logdet K``; the backward pass uses the unbiased estimators
+forward pass is ONE preconditioned CG solve of ``K^{-1}[y, Z]`` with probes
+``Z = P^{1/2} U``, ``U ~ N(0, I)``; the log-determinant falls out of the
+same solve for free via the mBCG identity (CG's coefficients are the
+Lanczos tridiagonal of the whitened operator — Gardner et al. 2018,
+``slq.py:cg_quadrature_logdet``), so no separate Lanczos sweep runs. The
+backward pass uses the unbiased estimators
 
-    d logdet / d theta  ~  (1/p) sum_i  u_i^T (dK/dtheta) z_i,  u_i = K^{-1} z_i
-    d (y^T K^{-1} y)    =  - alpha^T (dK/dtheta) alpha,          alpha = K^{-1} y
+    d logdet / d theta  ~  (1/p) sum_i u_i^T (dK/dtheta) w_i,
+        u_i = K^{-1} z_i,  w_i = P^{-1} z_i   (E[u w^T] = K^{-1})
+    d (y^T K^{-1} y)    =  - alpha^T (dK/dtheta) alpha,  alpha = K^{-1} y
 
-realised by differentiating a surrogate ``0.5 (mean_i u_i^T K z_i -
+realised by differentiating a surrogate ``0.5 (mean_i u_i^T K w_i -
 alpha^T K alpha)`` with the solves stop-gradiented — so gradients flow
-through the (differentiable, blocked) Gram matvec only."""
+through the (differentiable, blocked) Gram matvec only, and ``[W, alpha]``
+share a single tile sweep."""
 
 import math
 from functools import partial
@@ -25,7 +31,7 @@ from .pchol import (
     preconditioner_sqrt_ops,
     woodbury_preconditioner,
 )
-from .slq import slq_logdet
+from .slq import cg_quadrature_logdet
 from .. import config
 
 __all__ = ["iterative_nlml", "iterative_posterior_mean"]
@@ -68,99 +74,118 @@ def iterative_nlml(
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n = x.shape[0]
-    k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
-    z_cg = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
-    z_slq = jax.random.normal(k2, (n, num_probes), dtype=y.dtype)
+    k1, _ = jax.random.split(jax.lax.stop_gradient(key))
+    u = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
     matvec_fn = lambda k, xx, v, nz: kernel_matvec(k, xx, v, noise=nz, block=block)
     return _nlml(
-        params, y, jnp.asarray(noise), x, z_cg, z_slq, kernel_fn, matvec_fn,
+        params, y, jnp.asarray(noise), x, u, kernel_fn, matvec_fn,
         None, cg_tol, max_cg_iters, slq_steps, precond_rank,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
-def _nlml(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
-          surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps, precond_rank):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _nlml(params, y, noise, x, u, kernel_fn, matvec_fn,
+          surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps, precond_rank):
     """Shared stochastic-NLML core.
 
-    ``matvec_fn(k, x, v, noise)`` supplies the Gram matvec for the forward
-    solves (single-chip blocked or mesh-sharded; it is never differentiated).
-    ``surrogate_grad_fn(params, noise, x, U, z, alpha) -> (p_bar, noise_bar,
-    x_bar)`` supplies the backward-pass surrogate gradient; ``None`` selects
-    the single-chip default (``jax.grad`` through ``matvec_fn``)."""
-    val, _ = _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
-                       surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
+    ``u`` are standard-normal probes; the forward draws ``z = P^{1/2} u``
+    and solves ``K^{-1}[y, z]`` in one preconditioned CG whose coefficients
+    also yield the logdet quadrature (mBCG). ``matvec_fn(k, x, v, noise)``
+    supplies the Gram matvec for the forward solves (single-chip blocked or
+    mesh-sharded; it is never differentiated).
+    ``surrogate_grad_fn(params, noise, x, U, w, alpha) -> (p_bar, noise_bar,
+    x_bar)`` supplies the backward-pass surrogate gradient with
+    ``w = P^{-1} z``; ``None`` selects the single-chip default (``jax.grad``
+    through ``matvec_fn`` of the fused ``[w, alpha]`` sweep)."""
+    val, _ = _nlml_fwd(params, y, noise, x, u, kernel_fn, matvec_fn,
+                       surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
                        precond_rank)
     return val
 
 
 @config.pin_matmul_precision
-def _nlml_fwd(params, y, noise, x, z_cg, z_slq, kernel_fn, matvec_fn,
-              surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
+def _nlml_fwd(params, y, noise, x, u, kernel_fn, matvec_fn,
+              surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
               precond_rank):
     n = x.shape[0]
     k = kernel_fn(jax.tree.map(jax.lax.stop_gradient, params))
     noise_sg = jax.lax.stop_gradient(noise)
     y_sg = jax.lax.stop_gradient(y)
     x_sg = jax.lax.stop_gradient(x)
+    u = jax.lax.stop_gradient(u)
 
     mv = lambda v: matvec_fn(k, x_sg, v, noise_sg)
 
     precond = None
-    half_inv, logdet_p = None, 0.0
+    logdet_p = 0.0
+    z = u
     if precond_rank and precond_rank > 0:
         L = pivoted_cholesky(k, x_sg, precond_rank)
         precond = woodbury_preconditioner(L, noise_sg)
-        half_inv, logdet_p = preconditioner_sqrt_ops(L, noise_sg)
+        _, apply_half, logdet_p = preconditioner_sqrt_ops(L, noise_sg)
+        # Probes ~ N(0, P): the PCG quadrature below then estimates
+        # tr log(P^{-1/2} K P^{-1/2}), whose Hutchinson variance collapses
+        # because the whitened operator is near-identity.
+        z = apply_half(u)
 
-    rhs = jnp.concatenate([y_sg[:, None], z_cg], axis=1)
+    rhs = jnp.concatenate([y_sg[:, None], z], axis=1)
     sol, info = batched_cg(
-        mv, rhs, precond=precond, tol=cg_tol, max_iters=max_cg_iters
+        mv,
+        rhs,
+        precond=precond,
+        tol=cg_tol,
+        max_iters=max_cg_iters,
+        track_tridiag=min(quad_steps, max_cg_iters),
     )
     alpha, U = sol[:, 0], sol[:, 1:]
 
-    if half_inv is not None:
-        # Variance-reduced SLQ: whiten by the preconditioner; the Hutchinson
-        # variance scales with ||log(P^{-1/2} K P^{-1/2})||_F^2 ~ 0.
-        mv_white = lambda v: half_inv(mv(half_inv(v)))
-        logdet = logdet_p + slq_logdet(mv_white, z_slq, num_steps=slq_steps)
-    else:
-        logdet = slq_logdet(mv, z_slq, num_steps=slq_steps)
+    # Logdet for free from the probe columns' CG coefficients (mBCG).
+    alphas_t, betas_t, steps_t = info["tridiag"]
+    u_norms = jnp.sum(u * u, axis=0)
+    logdet = logdet_p + cg_quadrature_logdet(
+        alphas_t[:, 1:], betas_t[:, 1:], steps_t[1:], u_norms
+    )
     quad = jnp.sum(y_sg * alpha)
     nlml = 0.5 * (logdet + quad + n * _LOG_2_PI)
-    residuals = (params, noise, x, alpha, U, z_cg)
+    w = precond(z) if precond is not None else z
+    residuals = (params, noise, x, alpha, U, w)
     return nlml, residuals
 
 
 @config.pin_matmul_precision
 def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
-              slq_steps, precond_rank, residuals, g):
-    params, noise, x, alpha, U, z = residuals
+              quad_steps, precond_rank, residuals, g):
+    params, noise, x, alpha, U, w = residuals
     alpha = jax.lax.stop_gradient(alpha)
     U = jax.lax.stop_gradient(U)
-    z = jax.lax.stop_gradient(z)
+    w = jax.lax.stop_gradient(w)
 
     if surrogate_grad_fn is None:
         surrogate_grad_fn = make_surrogate_grad(kernel_fn, matvec_fn)
 
-    p_bar, noise_bar, x_bar = surrogate_grad_fn(params, noise, x, U, z, alpha)
+    p_bar, noise_bar, x_bar = surrogate_grad_fn(params, noise, x, U, w, alpha)
     p_bar = jax.tree.map(lambda t: t * g, p_bar)
     y_bar = g * alpha
-    return p_bar, y_bar, noise_bar * g, x_bar * g, jnp.zeros_like(z), jnp.zeros_like(z)
+    return p_bar, y_bar, noise_bar * g, x_bar * g, jnp.zeros_like(w)
 
 
 def make_surrogate_grad(kernel_fn, matvec_fn):
     """Single-chip surrogate gradient: differentiate the Hutchinson surrogate
-    ``0.5 (mean_i u_i^T K z_i - alpha^T K alpha)`` straight through the
-    blocked matvec."""
+    ``0.5 (mean_i u_i^T K w_i - alpha^T K alpha)`` straight through the
+    blocked matvec, with ``[w, alpha]`` fused into ONE tile sweep (each
+    extra right-hand side is nearly free; a second sweep would rebuild — and
+    re-differentiate — every Gram tile)."""
 
-    def surrogate_grad(params, noise, x, U, z, alpha):
+    def surrogate_grad(params, noise, x, U, w, alpha):
+        p = w.shape[1]
+
         def surrogate(params, noise, x):
             k = kernel_fn(params)
-            Kz = matvec_fn(k, x, z, noise)
-            Ka = matvec_fn(k, x, alpha[:, None], noise)[:, 0]
-            trace_est = jnp.mean(jnp.sum(U * Kz, axis=0))
-            quad_term = jnp.sum(alpha * Ka)
+            KV = matvec_fn(
+                k, x, jnp.concatenate([w, alpha[:, None]], axis=1), noise
+            )
+            trace_est = jnp.mean(jnp.sum(U * KV[:, :p], axis=0))
+            quad_term = jnp.sum(alpha * KV[:, p])
             return 0.5 * (trace_est - quad_term)
 
         return jax.grad(surrogate, argnums=(0, 1, 2))(params, noise, x)

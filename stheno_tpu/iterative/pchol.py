@@ -58,28 +58,39 @@ def pivoted_cholesky(k, x, rank):
 
 @config.pin_matmul_precision
 def preconditioner_sqrt_ops(L, noise):
-    """For ``P = noise I + L L^T``: returns ``(apply_P_half_inv, logdet_P)``.
+    """For ``P = noise I + L L^T``: returns ``(apply_P_half_inv,
+    apply_P_half, logdet_P)``.
 
-    Used for variance-reduced SLQ: ``logdet K = logdet P +
-    tr log(P^{-1/2} K P^{-1/2})``, and the whitened matrix is near-identity,
-    collapsing the Hutchinson variance."""
+    ``P^{-1/2}`` whitens operators for variance-reduced quadrature
+    (``logdet K = logdet P + tr log(P^{-1/2} K P^{-1/2})``, near-identity
+    when ``P ~ K``); ``P^{1/2}`` draws probes ``z = P^{1/2} u ~ N(0, P)``
+    so the mBCG quadrature of a *preconditioned* CG solve is unbiased
+    (``slq.py:cg_quadrature_logdet``)."""
     noise = jnp.asarray(noise)
     n, k = L.shape
     U, S, _ = jnp.linalg.svd(L, full_matrices=False)
     lam = noise + S**2
 
-    inv_sqrt_noise = 1.0 / jnp.sqrt(noise)
-    coeff = 1.0 / jnp.sqrt(lam) - inv_sqrt_noise
+    sqrt_noise = jnp.sqrt(noise)
+    inv_sqrt_noise = 1.0 / sqrt_noise
+    coeff_inv = 1.0 / jnp.sqrt(lam) - inv_sqrt_noise
+    coeff_fwd = jnp.sqrt(lam) - sqrt_noise
 
-    def apply_half_inv(v):
+    def _apply(v, base, coeff):
         squeeze = v.ndim == 1
         v2 = v[:, None] if squeeze else v
         Uv = U.T @ v2
-        out = v2 * inv_sqrt_noise + U @ (coeff[:, None] * Uv)
+        out = v2 * base + U @ (coeff[:, None] * Uv)
         return out[:, 0] if squeeze else out
 
+    def apply_half_inv(v):
+        return _apply(v, inv_sqrt_noise, coeff_inv)
+
+    def apply_half(v):
+        return _apply(v, sqrt_noise, coeff_fwd)
+
     logdet_p = jnp.sum(jnp.log(lam)) + (n - k) * jnp.log(noise)
-    return apply_half_inv, logdet_p
+    return apply_half_inv, apply_half, logdet_p
 
 
 @config.pin_matmul_precision

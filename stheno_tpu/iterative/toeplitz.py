@@ -192,15 +192,14 @@ def grid_iterative_nlml(
     x = grid_coords(axes)
     y = jnp.asarray(y)
     n = x.shape[0]
-    k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
-    z_cg = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
-    z_slq = jax.random.normal(k2, (n, num_probes), dtype=y.dtype)
+    k1, _ = jax.random.split(jax.lax.stop_gradient(key))
+    u = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
 
     def matvec_fn(k, xx, v, nz):
         return grid_matvec(k, _axes_from_coords(xx, shape), v, noise=nz)
 
     return _nlml(
-        params, y, jnp.asarray(noise), x, z_cg, z_slq, kernel_fn, matvec_fn,
+        params, y, jnp.asarray(noise), x, u, kernel_fn, matvec_fn,
         None, cg_tol, max_cg_iters, slq_steps, precond_rank,
     )
 

@@ -114,30 +114,34 @@ def make_sharded_surrogate_grad(kernel_fn, mesh, axis="data", block=4096):
     gradients. Padded rows carry zero ``u``/``alpha`` weights, so they
     contribute neither value nor gradient."""
 
-    def surrogate_grad(params, noise, x, U, z, alpha):
+    def surrogate_grad(params, noise, x, U, w, alpha):
         x_in = jnp.asarray(x)
         x2 = x_in[:, None] if x_in.ndim == 1 else x_in
         n, d = x2.shape
         n_pad, D = _padded_rows(n, mesh, axis)
-        x_padded, U_pad, z_pad, a_pad = (
-            _pad_rows(a, n_pad) for a in (x2, U, z, alpha)
+        x_padded, U_pad, w_pad, a_pad = (
+            _pad_rows(a, n_pad) for a in (x2, U, w, alpha)
         )
         local_block = min(block, n_pad // D)
         p = U.shape[1]
 
-        def body(x_loc, u_loc, z_loc, a_loc, x_full, z_full, a_full, params, noise):
+        def body(x_loc, u_loc, w_loc, a_loc, x_full, w_full, a_full, params, noise):
             def local_S(params, noise, x_loc, x_full):
                 k = kernel_fn(params)
-                Kz = kernel_matvec(
-                    k, x_loc, z_full, block=local_block, x_cols=x_full
+                # One fused tile sweep for [w, alpha]: each extra RHS is
+                # nearly free, a second sweep would rebuild (and
+                # re-differentiate) every Gram tile.
+                KV = kernel_matvec(
+                    k,
+                    x_loc,
+                    jnp.concatenate([w_full, a_full[:, None]], axis=1),
+                    block=local_block,
+                    x_cols=x_full,
                 )
-                Ka = kernel_matvec(
-                    k, x_loc, a_full[:, None], block=local_block, x_cols=x_full
-                )[:, 0]
                 trace_est = (
-                    jnp.sum(u_loc * Kz) + noise * jnp.sum(u_loc * z_loc)
+                    jnp.sum(u_loc * KV[:, :p]) + noise * jnp.sum(u_loc * w_loc)
                 ) / p
-                quad = jnp.sum(a_loc * Ka) + noise * jnp.sum(a_loc**2)
+                quad = jnp.sum(a_loc * KV[:, p]) + noise * jnp.sum(a_loc**2)
                 return 0.5 * (trace_est - quad)
 
             g = jax.grad(local_S, argnums=(0, 1, 2, 3))(
@@ -157,7 +161,7 @@ def make_sharded_surrogate_grad(kernel_fn, mesh, axis="data", block=4096):
             ),
             out_specs=(P(), P(), P(axis, None), P(None, None)),
             check_vma=False,
-        )(x_padded, U_pad, z_pad, a_pad, x2, z, alpha, params, noise)
+        )(x_padded, U_pad, w_pad, a_pad, x2, w, alpha, params, noise)
         x_bar = x_full_bar + x_loc_bar[:n]
         if x_in.ndim == 1:
             x_bar = x_bar[:, 0]
@@ -196,9 +200,8 @@ def sharded_iterative_nlml(
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n = x.shape[0]
-    k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
-    z_cg = jax.random.normal(k1, (n, num_probes), y.dtype)
-    z_slq = jax.random.normal(k2, (n, num_probes), y.dtype)
+    k1, _ = jax.random.split(jax.lax.stop_gradient(key))
+    u = jax.random.normal(k1, (n, num_probes), y.dtype)
     matvec_fn = lambda k, xx, v, nz: sharded_kernel_matvec(
         k, xx, v, mesh, axis=axis, noise=nz, block=block
     )
@@ -206,6 +209,6 @@ def sharded_iterative_nlml(
         kernel_fn, mesh, axis=axis, block=block
     )
     return _nlml(
-        params, y, jnp.asarray(noise), x, z_cg, z_slq, kernel_fn, matvec_fn,
+        params, y, jnp.asarray(noise), x, u, kernel_fn, matvec_fn,
         surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps, precond_rank,
     )

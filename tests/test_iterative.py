@@ -92,8 +92,14 @@ def test_pivoted_cholesky_rank_exhaustion():
     # The preconditioned pipeline stays finite end to end.
     from stheno_tpu.iterative.pchol import preconditioner_sqrt_ops
 
-    half_inv, logdet_p = preconditioner_sqrt_ops(L, 0.05)
+    half_inv, half_fwd, logdet_p = preconditioner_sqrt_ops(L, 0.05)
     assert np.isfinite(float(logdet_p))
+    # P^{1/2} and P^{-1/2} invert each other.
+    v_probe = jax.random.normal(jax.random.PRNGKey(7), (120,), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(half_inv(half_fwd(v_probe))), np.asarray(v_probe),
+        rtol=1e-9, atol=1e-9,
+    )
     mv = lambda v: kernel_matvec(k, x, v, noise=0.05, block=64)
     mv_white = lambda v: half_inv(mv(half_inv(v)))
     z = jax.random.normal(jax.random.PRNGKey(1), (120, 8), jnp.float64)
@@ -219,3 +225,58 @@ def test_symmetric_matvec_parity_and_grad():
     eye = jnp.eye(m)
     K = np.asarray(kernel_matvec(EQ(), x2, eye, block=8, symmetric=True))
     np.testing.assert_array_equal(K, K.T)
+
+
+def test_cg_quadrature_logdet_plain_and_preconditioned():
+    """The mBCG identity: logdet falls out of CG's own coefficients — plain
+    CG with N(0,I) probes, and PCG with N(0,P) probes plus logdet(P)."""
+    from stheno_tpu.iterative.slq import cg_quadrature_logdet
+    from stheno_tpu.iterative.pchol import preconditioner_sqrt_ops
+
+    n = 150
+    x, _ = _setup(n, seed=3)
+    k = EQ()
+    noise = 0.3
+    K = np.asarray(dense(pairwise(k, x[:, None]))) + noise * np.eye(n)
+    ref = np.linalg.slogdet(K)[1]
+    mv = lambda v: kernel_matvec(k, x, v, noise=noise, block=64)
+    u = jax.random.normal(jax.random.PRNGKey(2), (n, 32), jnp.float64)
+    u_norms = jnp.sum(u * u, axis=0)
+
+    # Plain CG, standard-normal probes.
+    _, info = batched_cg(mv, u, tol=1e-10, max_iters=200, track_tridiag=60)
+    est = cg_quadrature_logdet(*info["tridiag"], u_norms)
+    np.testing.assert_allclose(float(est), ref, rtol=0.05)
+
+    # Preconditioned CG, probes ~ N(0, P): estimates the whitened logdet.
+    L = pivoted_cholesky(k, x, 30)
+    pre = woodbury_preconditioner(L, noise)
+    _, apply_half, logdet_p = preconditioner_sqrt_ops(L, noise)
+    z = apply_half(u)
+    _, info_p = batched_cg(
+        mv, z, precond=pre, tol=1e-10, max_iters=200, track_tridiag=60
+    )
+    est_p = float(logdet_p) + float(
+        cg_quadrature_logdet(*info_p["tridiag"], u_norms)
+    )
+    # Whitened quadrature: variance collapses, so a tight tolerance holds.
+    np.testing.assert_allclose(est_p, ref, rtol=5e-3)
+
+
+def test_cg_tridiag_buffers_contiguous():
+    """Tridiag recording freezes per column once its residual hits the
+    rounding floor; steps counts exactly the recorded prefix."""
+    n = 80
+    x, _ = _setup(n, seed=4)
+    k = EQ()
+    mv = lambda v: kernel_matvec(k, x, v, noise=0.5, block=64)
+    b = jax.random.normal(jax.random.PRNGKey(3), (n, 4), jnp.float64)
+    sol, info = batched_cg(mv, b, tol=1e-12, max_iters=100, track_tridiag=50)
+    alphas, betas, steps = info["tridiag"]
+    assert alphas.shape == (50, 4)
+    for j in range(4):
+        s = int(steps[j])
+        assert 0 < s <= 50
+        # Recorded alphas are positive (SPD operator), padding is zero.
+        assert np.all(np.asarray(alphas[:s, j]) > 0)
+        assert np.all(np.asarray(alphas[s:, j]) == 0)
