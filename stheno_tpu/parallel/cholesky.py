@@ -20,7 +20,12 @@ from jax import shard_map
 
 from .. import config
 
-__all__ = ["dist_cholesky", "dist_solve_lower", "make_data_mesh"]
+__all__ = [
+    "dist_cholesky",
+    "dist_cholesky_with_inv",
+    "dist_solve_lower",
+    "make_data_mesh",
+]
 
 
 def make_data_mesh(n_devices=None, axis="data"):
@@ -168,6 +173,71 @@ def dist_cholesky(K, mesh, axis="data", block=256):
     top = jnp.concatenate([L11, zeros], axis=1)
     bot = jnp.concatenate([L21, L22], axis=1)
     return reshard(jnp.concatenate([top, bot], axis=0))
+
+
+@config.pin_matmul_precision
+def dist_cholesky_with_inv(K, mesh, axis="data", block=256):
+    """Lower Cholesky factor of a row-block-sharded PSD ``K`` together with
+    its explicit inverse ``L^{-1}`` (also row-sharded).
+
+    The inverse rides the same divide-and-conquer recursion:
+    ``inv([[L11, 0], [L21, L22]]) = [[I11, 0], [-I22 (L21 I11), I22]]`` —
+    two GSPMD-balanced GEMMs per level, the distributed form of
+    ``ops/chol.py:cholesky_with_inv``. The ``L`` computation never consumes
+    the inverse parts, so a jitted caller that drops ``Linv`` (a value-only
+    NLML) pays nothing for it: XLA dead-code-eliminates the inverse GEMMs.
+    The carried inverse turns every downstream triangular solve — and
+    crucially the NLML backward's ``K^{-1}`` and ``alpha`` — into GEMMs
+    with no extra N-column substitution (see ``parallel/exact.py``)."""
+    N = K.shape[-1]
+    D = mesh.shape[axis]
+    h = N // 2
+    shard = NamedSharding(mesh, P(axis, None))
+
+    def reshard(a):
+        return jax.lax.with_sharding_constraint(a, shard)
+
+    if N < _REC_BASE or h % D != 0 or h % 2 != 0:
+        L = _dist_cholesky_loop(K, mesh, axis, block)
+        eye = reshard(jnp.eye(N, dtype=K.dtype))
+        Linv = dist_solve_lower(L, eye, mesh, axis=axis, block=block)
+        return L, reshard(Linv)
+
+    A11 = reshard(K[:h, :h])
+    A12 = reshard(K[:h, h:])
+    A22 = reshard(K[h:, h:])
+
+    L11, I11 = dist_cholesky_with_inv(A11, mesh, axis=axis, block=block)
+    Y = dist_solve_lower(L11, A12, mesh, axis=axis, block=block)
+    L21 = reshard(Y.T)
+    S = A22 - jnp.matmul(L21, Y, preferred_element_type=K.dtype)
+    L22, I22 = dist_cholesky_with_inv(reshard(S), mesh, axis=axis, block=block)
+    M21 = -jnp.matmul(
+        I22,
+        reshard(jnp.matmul(L21, I11, preferred_element_type=K.dtype)),
+        preferred_element_type=K.dtype,
+    )
+
+    zeros = jnp.zeros((h, N - h), K.dtype)
+    L = reshard(
+        jnp.concatenate(
+            [
+                jnp.concatenate([L11, zeros], axis=1),
+                jnp.concatenate([L21, L22], axis=1),
+            ],
+            axis=0,
+        )
+    )
+    Linv = reshard(
+        jnp.concatenate(
+            [
+                jnp.concatenate([I11, zeros], axis=1),
+                jnp.concatenate([M21, I22], axis=1),
+            ],
+            axis=0,
+        )
+    )
+    return L, Linv
 
 
 def _dist_solve_lower_shard(L_local, B_local, *, axis, block):

@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..kernels import pairwise
 from ..matrix import dense
-from .cholesky import dist_cholesky, dist_solve_lower
+from .cholesky import dist_cholesky, dist_cholesky_with_inv, dist_solve_lower
 from .. import config
 
 __all__ = ["sharded_gram", "dist_nlml", "dist_posterior_predict"]
@@ -60,33 +60,36 @@ def _dist_nlml(K, y, mesh, axis, block):
 @config.pin_matmul_precision
 def _dist_nlml_fwd(K, y, mesh, axis, block):
     N = K.shape[-1]
-    L = dist_cholesky(K, mesh, axis=axis, block=block)
+    # The recursion carries L^{-1} alongside L (GSPMD-balanced GEMMs). The
+    # L path never consumes the inverse parts, and `half` is computed by
+    # substitution against L, so a value-only (undifferentiated) jitted
+    # call drops the residuals and XLA prunes every inverse GEMM away.
+    L, Linv = dist_cholesky_with_inv(K, mesh, axis=axis, block=block)
     y2 = y if y.ndim == 2 else y[:, None]
     m = y2.shape[-1]
     half = dist_solve_lower(L, y2, mesh, axis=axis, block=block)  # L^{-1} y
     quad = jnp.sum(half * half)
     nlml = 0.5 * (m * _logdet_from_L(L) + quad + m * N * _LOG_2_PI)
-    # Stash `y` as given (not `y2`): the bwd keys the cotangent's shape on
-    # the primal's own ndim.
-    return nlml, (L, half, y)
+    # Residuals hold ONE N x N array (L^{-1}); L itself is not needed by the
+    # backward (logdet already reduced), keeping backward peak memory at or
+    # below the forward's. Stash `y` as given (not `y2`): the bwd keys the
+    # cotangent's shape on the primal's own ndim.
+    return nlml, (Linv, half, y)
 
 
 @config.pin_matmul_precision
 def _dist_nlml_bwd(mesh, axis, block, residuals, g):
-    L, half, y = residuals
-    N = L.shape[-1]
+    Linv, half, y = residuals
     m = y.shape[-1] if y.ndim == 2 else 1
-    # alpha = K^{-1} y = L^{-T} (L^{-1} y).
-    alpha = _solve_upper_from_lower(L, half, mesh, axis, block)
-    # K^{-1} = L^{-T} L^{-1}: column-block by column-block via the identity.
-    eye = jnp.eye(N, dtype=L.dtype)
-    eye = jax.lax.with_sharding_constraint(
-        eye, NamedSharding(mesh, P(axis, None))
+    shard = NamedSharding(mesh, P(axis, None))
+    # alpha = K^{-1} y = L^{-T} (L^{-1} y): one skinny GEMM on the carried
+    # inverse — no N-column substitution, no explicit K^{-1} staging beyond
+    # the single L^{-T} L^{-1} product below.
+    alpha = jax.lax.with_sharding_constraint(
+        jnp.matmul(Linv.T, half, preferred_element_type=Linv.dtype), shard
     )
-    Linv = dist_solve_lower(L, eye, mesh, axis=axis, block=block)  # L^{-1}
-    Kinv = jnp.matmul(Linv.T, Linv, preferred_element_type=L.dtype)
     Kinv = jax.lax.with_sharding_constraint(
-        Kinv, NamedSharding(mesh, P(axis, None))
+        jnp.matmul(Linv.T, Linv, preferred_element_type=Linv.dtype), shard
     )
     Kbar = 0.5 * g * (m * Kinv - jnp.matmul(alpha, alpha.T))
     ybar = g * alpha

@@ -543,3 +543,85 @@ def test_initialize_hosts_idempotent():
 
     initialize_hosts()
     initialize_hosts()  # must not raise
+
+
+def _per_device_flops(fn, *args):
+    """Per-partition FLOPs of the compiled SPMD module (XLA cost analysis:
+    under GSPMD the module is the per-device program)."""
+    return jax.jit(fn).lower(*args).compile().cost_analysis()["flops"]
+
+
+def test_dist_work_balance(mesh):
+    """Work-balance guard (SURVEY §5 sanitizer row): the distributed
+    Cholesky/solve/NLML must put O(N^3/D) FLOPs on each device. A change
+    that silently serialises the math (everything landing on device 0 with
+    the rest idle) shows up as per-device FLOPs ~= the D=1 program's;
+    measured healthy ratios are ~0.13 (slightly better than 1/D because
+    the flat loop's redundant panel solves shrink too)."""
+    import stheno_tpu.parallel.cholesky as pc
+    import stheno_tpu.parallel.exact as pe
+
+    N = 512
+    K = _psd(N, 23)
+    y = jnp.asarray(np.random.RandomState(24).randn(N))
+    mesh1 = make_data_mesh(1)
+
+    for label, fn in [
+        ("cholesky", lambda m: (lambda K: pc.dist_cholesky(K, m, block=64))),
+        (
+            "nlml value+grad",
+            lambda m: jax.value_and_grad(
+                lambda K: pe.dist_nlml(K, y, m, block=64)
+            ),
+        ),
+    ]:
+        f1 = _per_device_flops(fn(mesh1), K)
+        f8 = _per_device_flops(fn(mesh), K)
+        assert f8 <= 0.3 * f1, (
+            f"{label}: per-device FLOPs {f8:.3e} at D=8 vs {f1:.3e} at D=1 "
+            f"(ratio {f8 / f1:.2f}) — distributed path appears serialised"
+        )
+
+
+def test_dist_nlml_value_only_prunes_inverse(mesh):
+    """The carried-inverse recursion's GEMMs must be dead-code-eliminated
+    for value-only NLML calls: a value-only program may cost at most
+    marginally more than the factorisation alone (the inverse roughly
+    triples it)."""
+    import stheno_tpu.parallel.cholesky as pc
+    import stheno_tpu.parallel.exact as pe
+
+    N = 512
+    K = _psd(N, 25)
+    y = jnp.asarray(np.random.RandomState(26).randn(N))
+    f_chol = _per_device_flops(lambda K: pc.dist_cholesky(K, mesh, block=64), K)
+    f_val = _per_device_flops(lambda K: pe.dist_nlml(K, y, mesh, block=64), K)
+    assert f_val <= 1.25 * f_chol, (
+        f"value-only NLML costs {f_val:.3e} vs cholesky {f_chol:.3e}: "
+        "the carried inverse is not being pruned"
+    )
+
+
+def test_dist_cholesky_with_inv_parity(mesh, monkeypatch):
+    """dist_cholesky_with_inv: L matches dist_cholesky and Linv @ L = I,
+    through both the loop base case and the recursion."""
+    import stheno_tpu.parallel.cholesky as pc
+
+    K = _psd(192, 27)
+    L, Linv = pc.dist_cholesky_with_inv(K, mesh, block=8)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(Linv) @ np.asarray(L), np.eye(192), atol=1e-8
+    )
+
+    monkeypatch.setattr(pc, "_REC_BASE", 64)
+    K2 = _psd(256, 28)
+    L2, Linv2 = pc.dist_cholesky_with_inv(K2, mesh, block=8)
+    np.testing.assert_allclose(
+        np.asarray(L2), np.linalg.cholesky(np.asarray(K2)), rtol=1e-8, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(Linv2) @ np.asarray(L2), np.eye(256), atol=1e-7
+    )
