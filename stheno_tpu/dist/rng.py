@@ -11,7 +11,11 @@ import jax
 
 __all__ = ["set_global_key", "next_global_key"]
 
-_global_key = jax.random.PRNGKey(0)
+# Created lazily on first use: building a key at import time would
+# initialise the XLA backend as a side effect of `import stheno_tpu`,
+# which breaks anything that must run first (jax.distributed.initialize
+# on multi-host clusters, platform/flag configuration).
+_global_key = None
 
 
 def set_global_key(key_or_seed):
@@ -26,5 +30,7 @@ def set_global_key(key_or_seed):
 def next_global_key():
     """Split the global key and return a fresh subkey."""
     global _global_key
+    if _global_key is None:
+        _global_key = jax.random.PRNGKey(0)
     _global_key, sub = jax.random.split(_global_key)
     return sub

@@ -37,24 +37,19 @@ def initialize_hosts(coordinator_address=None, num_processes=None, process_id=No
     state = getattr(jax._src.distributed, "global_state", None)
     if state is not None and getattr(state, "client", None) is not None:
         return
+    # A caller that names an explicit multi-process cluster asked for real
+    # distribution: failures must surface, not degrade to single-process.
+    explicit_cluster = num_processes is not None and num_processes > 1
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
         if "already initialized" in str(e).lower():
             return
-        if jax.process_count() > 1:
-            raise
-        import logging
-
-        logging.getLogger(__name__).info(
-            "single-process run; distributed init skipped (%s)", e
-        )
-    except ValueError as e:
-        if jax.process_count() > 1:
+        if explicit_cluster or jax.process_count() > 1:
             raise
         import logging
 
