@@ -1,89 +1,268 @@
-"""Benchmark: exact GP logpdf at N=2,000 (the reference's headline number:
-219 ms +/- 35.7 ms per call on CPU, README_without_examples.md:689-690).
+"""Benchmark suite: the north-star performance numbers, driver-captured.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Runs on whatever backend JAX selects (TPU under the driver).
+Prints ONE JSON line. Top-level keys keep the driver contract
+(``metric``/``value``/``unit``/``vs_baseline`` — the reference's headline
+N=2,000 exact-GP logpdf, 219 ms +/- 35.7 ms per call on CPU,
+``README_without_examples.md:689-690``); the ``suite`` field carries the
+full measured matrix (BASELINE.md build targets):
 
-Timing: the TPU here sits behind a network tunnel where per-call host
-round-trips cost ~0.4 s and ``block_until_ready`` is unreliable, so the
-measurement chains ``iters`` calls inside a jitted ``lax.fori_loop`` (each
-iteration's input depends on the previous result, defeating loop-invariant
-hoisting) and fetches one scalar at the end; reported value is the min over
-repeats."""
+- ``n2000_logpdf_ms`` / ``n2000_logpdf_grad_ms``: the reference headline,
+  value and value+gradient.
+- ``vfe_elbo_n2000_m100_ms``: the reference's second published number
+  (9.8 ms CPU).
+- ``n8192_nlml_grad_ms`` / ``n16384_nlml_grad_ms`` + ``..._tflops``:
+  dense-path NLML value+grad with achieved TFLOP/s against the
+  ``exact_gp_flops`` roofline count.
+- ``iterative_n262144_step_s``: exact-GP NLML+gradient at N=262,144 on one
+  chip, matrix-free (the 275 GB Gram is never materialised).
+- ``dist_elbo_n1e6_m512_ms``: 1M-point VFE ELBO+gradient step.
+
+Timing: the TPU sits behind a network tunnel where each dispatch+fetch
+costs ~25 ms (noisy to ~60 ms), so sub-second workloads are timed by
+chaining ``iters`` data-dependent calls inside a jitted ``lax.fori_loop``
+and taking the slope between two loop lengths (cancels the per-dispatch
+tunnel cost); second-scale workloads use direct timing where the tunnel
+cost is negligible. See docs/scaling.md "Benchmarking on a remote-tunneled
+TPU"."""
 
 import json
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-BASELINE_MS = 219.0  # Reference's published per-call latency (CPU %timeit).
+BASELINE_N2000_MS = 219.0  # Reference exact logpdf, N=2000 (CPU %timeit).
+BASELINE_VFE_MS = 9.8  # Reference VFE ELBO, N=2000, M=100 (CPU %timeit).
 
 
-def main():
+def _slope_time(make_loop, i1, i2, repeats=5):
+    """Per-call seconds via the dispatch-corrected slope of two loop
+    lengths."""
+    m1, m2 = make_loop(i1), make_loop(i2)
+    float(m1()), float(m2())  # Compile + warm up.
+    t1s, t2s = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(m1())
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(m2())
+        t2s.append(time.perf_counter() - t0)
+    return (min(t2s) - min(t1s)) / (i2 - i1)
+
+
+def _direct_time(fn, repeats=2):
+    """Best-of direct timing for second-scale dispatches."""
+    fn()  # Compile + warm up.
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_n2000(dtype):
+    """Reference headline: periodic-EQ NLML at N=2000, value and
+    value+grad."""
     from stheno_tpu import EQ, GP
-
-    on_tpu = jax.default_backend() not in ("cpu",)
-    dtype = jnp.float32 if on_tpu else jnp.float64
 
     n = 2000
     x = jnp.linspace(0.0, 10.0, n, dtype=dtype)
     y = jnp.sin(x) + 0.3 * jnp.cos(3.2 * x)
 
     def nlml(y, ell):
-        # Periodic-EQ prior with noise, matching the reference's benchmark
-        # model (`README_without_examples.md:666-690`).
         f = GP(EQ().stretch(ell).periodic(jnp.asarray(1.0, dtype)))
         return -f.measure.logpdf(f(x, jnp.asarray(0.1, dtype)), y)
 
-    def make(iters):
+    # Guard: the benched computation must be correct, not just fast (at
+    # XLA's default matmul precision the f32 Gram/Cholesky NaN on TPU; the
+    # library pins float32-precision GEMMs — config.matmul_precision).
+    val = float(jax.jit(nlml)(y, jnp.asarray(2.0, dtype)))
+    assert val == val and abs(val) < 1e9, f"NLML not finite: {val}"
+
+    def make(iters, with_grad):
+        fn = jax.value_and_grad(nlml, argnums=1) if with_grad else nlml
+
         @jax.jit
-        def many(y):
+        def many():
             def body(i, acc):
-                # The acc-dependent *hyperparameter* keeps the whole call
-                # live: the Gram build and its Cholesky depend on the
-                # lengthscale, so XLA cannot hoist them out of the loop (the
-                # reference's %timeit likewise re-does the full computation
-                # every call).
-                out = nlml(y, jnp.asarray(2.0, dtype) + acc * 1e-30)
+                # The acc-dependent hyperparameter keeps every iteration
+                # live (the Gram and its Cholesky depend on it), so XLA
+                # cannot hoist the computation out of the loop.
+                out = fn(y, jnp.asarray(2.0, dtype) + acc * 1e-30)
+                if with_grad:
+                    out = out[0] + out[1]
                 return acc + out * 1e-30
 
             return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
 
         return many
 
-    # Dispatch-corrected slope timing: the remote-TPU tunnel costs ~25 ms
-    # per host round-trip, which would inflate a min(total)/iters estimate
-    # by ~0.5 ms/call. Timing two loop lengths and taking the slope isolates
-    # the true per-call device latency.
-    # Guard: the benched computation must be *correct*, not just fast. At
-    # XLA's default matmul precision the f32 Gram/Cholesky NaN on TPU (see
-    # stheno_tpu/config.py:matmul_precision); the library pins float32-
-    # precision GEMMs, and this assert keeps the benchmark honest.
-    val = float(jax.jit(nlml)(y, jnp.asarray(2.0, dtype)))
-    assert val == val and abs(val) < 1e9, f"NLML not finite: {val}"
+    t_val = _slope_time(lambda i: make(i, False), 10, 110)
+    t_grad = _slope_time(lambda i: make(i, True), 5, 55)
+    return t_val * 1e3, t_grad * 1e3
 
-    i1, i2 = 10, 110
-    m1, m2 = make(i1), make(i2)
-    float(m1(y)), float(m2(y))  # Compile + warm up.
-    t1s, t2s = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(m1(y))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(m2(y))
-        t2s.append(time.perf_counter() - t0)
-    per_call_ms = (min(t2s) - min(t1s)) / (i2 - i1) * 1e3
 
+def bench_vfe_n2000(dtype):
+    """Reference's second number: VFE ELBO, N=2000 obs, M=100 inducing."""
+    from stheno_tpu import EQ, GP, PseudoObs
+
+    n, m = 2000, 100
+    x = jnp.linspace(0.0, 10.0, n, dtype=dtype)
+    y = jnp.sin(x) + 0.3 * jnp.cos(3.2 * x)
+    z = jnp.linspace(0.0, 10.0, m, dtype=dtype)
+
+    def elbo(y, ell):
+        f = GP(EQ().stretch(ell))
+        obs = PseudoObs(f(z), (f(x, jnp.asarray(0.1, dtype)), y))
+        return obs.elbo(f.measure)
+
+    def make(iters):
+        @jax.jit
+        def many():
+            def body(i, acc):
+                out = elbo(y, jnp.asarray(1.0, dtype) + acc * 1e-30)
+                return acc + out * 1e-30
+
+            return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
+
+        return many
+
+    return _slope_time(make, 20, 220) * 1e3
+
+
+def bench_dense_nlml_grad(n, dtype):
+    """Dense-path NLML value+grad at ``n``; returns (ms, achieved TFLOP/s
+    against the exact_gp_flops roofline count)."""
+    from stheno_tpu import EQ, GP
+    from stheno_tpu.utils import exact_gp_flops
+
+    x = jnp.linspace(0.0, 10.0, n, dtype=dtype)
+    y = jnp.sin(x) + 0.3 * jnp.cos(3.2 * x)
+
+    def nlml(ell):
+        f = GP(EQ().stretch(ell))
+        return -f.measure.logpdf(f(x, jnp.asarray(0.1, dtype)), y)
+
+    vg = jax.value_and_grad(nlml)
+
+    def make(iters):
+        @jax.jit
+        def many():
+            def body(i, acc):
+                v, g = vg(jnp.asarray(2.0, dtype) + acc * 1e-30)
+                return acc + (v + g) * 1e-30
+
+            return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
+
+        return many
+
+    i1, i2 = (2, 12) if n <= 8192 else (1, 5)
+    t = _slope_time(make, i1, i2, repeats=3)
+    tflops = exact_gp_flops(n, grad=True) / t / 1e12
+    return t * 1e3, tflops
+
+
+def bench_iterative_262k(dtype):
+    """Matrix-free exact-GP NLML+gradient at N=262,144 on one chip."""
+    from stheno_tpu import EQ
+    from stheno_tpu.iterative import iterative_nlml
+
+    n = 262_144
+    r = np.random.RandomState(0)
+    x = jnp.asarray(np.sort(r.rand(n).astype(dtype)) * 10)
+    y = jnp.sin(x) + 0.1 * jnp.asarray(r.randn(n).astype(dtype))
+    kf = lambda p: jnp.exp(p["log_s2"]) * EQ().stretch(jnp.exp(p["log_ell"]))
+    params = {
+        "log_s2": jnp.asarray(0.0, dtype),
+        "log_ell": jnp.asarray(0.0, dtype),
+    }
+
+    @jax.jit
+    def vg(p, key):
+        return jax.value_and_grad(
+            lambda p: iterative_nlml(
+                kf, p, x, y, 0.1, key,
+                num_probes=8, cg_tol=1e-2, max_cg_iters=200,
+                slq_steps=30, precond_rank=128, block=8192,
+            )
+        )(p)
+
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 8))
+
+    def step():
+        v, g = vg(params, next(keys))
+        assert np.isfinite(float(v))
+        float(g["log_s2"])
+
+    return _direct_time(step, repeats=2)
+
+
+def bench_dist_elbo_1m(dtype):
+    """1M-point VFE ELBO+gradient (M=512 inducing) on the available mesh."""
+    from stheno_tpu import EQ
+    from stheno_tpu.parallel import dist_elbo, make_data_mesh
+
+    n, m = 1_000_000, 512
+    mesh = make_data_mesh(min(8, len(jax.devices())))
+    r = np.random.RandomState(1)
+    x = jnp.asarray(np.sort(r.rand(n).astype(dtype)) * 10)[:, None]
+    y = jnp.sin(x[:, 0]) + 0.1 * jnp.asarray(r.randn(n).astype(dtype))
+    z = jnp.linspace(0.0, 10.0, m, dtype=dtype)[:, None]
+
+    def elbo(ell):
+        k = EQ().stretch(ell)
+        return dist_elbo(k, z, x, y, jnp.asarray(0.1, dtype), mesh)
+
+    vg = jax.jit(jax.value_and_grad(elbo))
+
+    def step():
+        v, g = vg(jnp.asarray(1.0, dtype))
+        assert np.isfinite(float(v))
+        float(g)
+
+    return _direct_time(step, repeats=3) * 1e3
+
+
+def main():
+    t_bench0 = time.time()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    np_dtype = np.float32 if on_tpu else np.float64
+
+    suite = {}
+    t_val_ms, t_grad_ms = bench_n2000(dtype)
+    suite["n2000_logpdf_ms"] = round(t_val_ms, 4)
+    suite["n2000_logpdf_grad_ms"] = round(t_grad_ms, 4)
+    suite["vfe_elbo_n2000_m100_ms"] = round(bench_vfe_n2000(dtype), 4)
+
+    if on_tpu:
+        # Large-N paths sized for the chip; skipped on CPU (the CI surface
+        # covers them at reduced N in tests/).
+        for n in (8192, 16384):
+            ms, tflops = bench_dense_nlml_grad(n, dtype)
+            suite[f"n{n}_nlml_grad_ms"] = round(ms, 2)
+            suite[f"n{n}_nlml_grad_tflops"] = round(tflops, 2)
+
+        suite["iterative_n262144_step_s"] = round(
+            bench_iterative_262k(np_dtype), 2
+        )
+        suite["dist_elbo_n1e6_m512_ms"] = round(bench_dist_elbo_1m(dtype), 1)
+
+    suite["bench_wall_s"] = round(time.time() - t_bench0, 1)
     print(
         json.dumps(
             {
                 "metric": "exact_gp_logpdf_n2000_latency",
-                "value": round(per_call_ms, 4),
+                "value": suite["n2000_logpdf_ms"],
                 "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / per_call_ms, 2),
+                "vs_baseline": round(
+                    BASELINE_N2000_MS / suite["n2000_logpdf_ms"], 2
+                ),
+                "suite": suite,
             }
         )
     )

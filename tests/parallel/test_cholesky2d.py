@@ -1,0 +1,84 @@
+"""2-D block-cyclic distributed Cholesky: parity with numpy across mesh
+shapes, through the cyclic base loop and the divide-and-conquer recursion,
+plus relayout round-trips and work balance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import stheno_tpu.parallel.cholesky2d as c2d
+from stheno_tpu.parallel import dist_cholesky_2d, make_grid_mesh
+
+
+def _psd(n, seed=0):
+    r = np.random.RandomState(seed)
+    a = r.randn(n, n)
+    return jnp.asarray(a @ a.T + n * np.eye(n))
+
+
+def test_cyclic_relayout_roundtrip():
+    r = np.random.RandomState(3)
+    K = jnp.asarray(r.randn(48, 48))
+    for fac in (2, 4):
+        Kc = c2d._to_cyclic(K, 12, fac, 0)
+        np.testing.assert_array_equal(
+            np.asarray(c2d._from_cyclic(Kc, 12, fac, 0)), np.asarray(K)
+        )
+        # Row tile J of the cyclic layout is global tile m*fac+q.
+        b = 4
+        got = np.asarray(Kc[:b])
+        np.testing.assert_array_equal(got, np.asarray(K[:b]))
+
+
+@pytest.mark.parametrize("r,c", [(1, 4), (2, 2), (2, 4), (1, 8)])
+def test_dist_cholesky_2d_loop_parity(r, c):
+    mesh = make_grid_mesh(r, c)
+    K = _psd(96, seed=r * 10 + c)
+    L = c2d._dist_cholesky_2d_loop(K, mesh, "rows", "cols", 8)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_dist_cholesky_2d_uneven_block_clips():
+    mesh = make_grid_mesh(2, 4)
+    K = _psd(64, seed=5)
+    L = dist_cholesky_2d(K, mesh, block=256)  # Clipped to fit.
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_dist_cholesky_2d_recursive_parity(monkeypatch):
+    monkeypatch.setattr(c2d, "_REC_BASE", 64)
+    mesh = make_grid_mesh(2, 4)
+    K = _psd(256, seed=7)
+    L = dist_cholesky_2d(K, mesh, block=8)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
+    )
+
+
+def test_dist_cholesky_2d_rejects_bad_mesh():
+    mesh = make_grid_mesh(2, 3)
+    with pytest.raises(ValueError, match="multiple"):
+        dist_cholesky_2d(_psd(48), mesh, block=8)
+
+
+def test_dist_cholesky_2d_work_balance():
+    """Per-device FLOPs on a 2x4 mesh stay well below the 1x1 program's
+    (the cyclic layout has no serialisation point)."""
+    K = _psd(512, seed=9)
+
+    def flops(mesh):
+        return (
+            jax.jit(lambda K: c2d._dist_cholesky_2d_loop(K, mesh, "rows", "cols", 64))
+            .lower(K)
+            .compile()
+            .cost_analysis()["flops"]
+        )
+
+    f1 = flops(make_grid_mesh(1, 1))
+    f8 = flops(make_grid_mesh(2, 4))
+    assert f8 <= 0.35 * f1, (f8, f1, f8 / f1)
