@@ -4,7 +4,12 @@ from .cholesky import (
     dist_solve_lower,
     make_data_mesh,
 )
-from .cholesky2d import dist_cholesky_2d, make_grid_mesh
+from .cholesky2d import (
+    dist_cholesky_2d,
+    dist_cholesky_2d_with_inv,
+    dist_nlml_2d,
+    make_grid_mesh,
+)
 from .exact import dist_nlml, dist_posterior_predict, sharded_gram
 from .hosts import initialize_hosts, make_hybrid_mesh
 from .iterative import sharded_iterative_nlml, sharded_kernel_matvec
@@ -14,6 +19,8 @@ __all__ = [
     "dist_cholesky",
     "dist_cholesky_with_inv",
     "dist_cholesky_2d",
+    "dist_cholesky_2d_with_inv",
+    "dist_nlml_2d",
     "dist_solve_lower",
     "make_data_mesh",
     "make_grid_mesh",

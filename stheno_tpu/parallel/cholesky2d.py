@@ -37,7 +37,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import config
 
-__all__ = ["dist_cholesky_2d", "make_grid_mesh"]
+__all__ = [
+    "dist_cholesky_2d",
+    "dist_cholesky_2d_with_inv",
+    "dist_nlml_2d",
+    "make_grid_mesh",
+]
 
 
 def make_grid_mesh(r, c, axis_r="rows", axis_c="cols"):
@@ -257,6 +262,126 @@ def dist_cholesky_2d(K, mesh, axis_r="rows", axis_c="cols", block=256):
     return reshard(jnp.concatenate([top, bot], axis=0))
 
 
+@config.pin_matmul_precision
+def dist_cholesky_2d_with_inv(K, mesh, axis_r="rows", axis_c="cols", block=256):
+    """``(L, L^{-1})`` over the 2-D mesh: the inverse rides the recursion as
+    two GSPMD GEMMs per level (``inv([[L11,0],[L21,L22]]) = [[I11,0],
+    [-I22 (L21 I11), I22]]``); the ``L`` path never consumes the inverse,
+    so value-only callers prune it (as in the 1-D
+    ``dist_cholesky_with_inv``)."""
+    N = K.shape[-1]
+    r = mesh.shape[axis_r]
+    c = mesh.shape[axis_c]
+    if c % r != 0:
+        raise ValueError(
+            f"dist_cholesky_2d needs the column axis to be a multiple of "
+            f"the row axis; got {r}x{c}."
+        )
+    shard2 = NamedSharding(mesh, P(axis_r, axis_c))
+
+    def reshard(a):
+        return jax.lax.with_sharding_constraint(a, shard2)
+
+    h = N // 2
+    if N < _REC_BASE or h % (r * block) != 0 or h % (c * block) != 0:
+        L = _dist_cholesky_2d_loop(K, mesh, axis_r, axis_c, block)
+        eye = reshard(jnp.eye(N, dtype=K.dtype))
+        Linv = _solve_lower_2d(L, eye, mesh, axis_r, axis_c, block)
+        return L, reshard(Linv)
+
+    A11 = reshard(K[:h, :h])
+    A12 = reshard(K[:h, h:])
+    A22 = reshard(K[h:, h:])
+
+    L11, I11 = dist_cholesky_2d_with_inv(
+        A11, mesh, axis_r=axis_r, axis_c=axis_c, block=block
+    )
+    Y = _solve_lower_2d(L11, A12, mesh, axis_r, axis_c, block)
+    L21 = reshard(Y.T)
+    S = A22 - jnp.matmul(L21, Y, preferred_element_type=K.dtype)
+    L22, I22 = dist_cholesky_2d_with_inv(
+        reshard(S), mesh, axis_r=axis_r, axis_c=axis_c, block=block
+    )
+    M21 = -jnp.matmul(
+        I22,
+        reshard(jnp.matmul(L21, I11, preferred_element_type=K.dtype)),
+        preferred_element_type=K.dtype,
+    )
+
+    zeros = jnp.zeros((h, N - h), K.dtype)
+    L = reshard(
+        jnp.concatenate(
+            [
+                jnp.concatenate([L11, zeros], axis=1),
+                jnp.concatenate([L21, L22], axis=1),
+            ],
+            axis=0,
+        )
+    )
+    Linv = reshard(
+        jnp.concatenate(
+            [
+                jnp.concatenate([I11, zeros], axis=1),
+                jnp.concatenate([M21, I22], axis=1),
+            ],
+            axis=0,
+        )
+    )
+    return L, Linv
+
+
+import math as _math
+
+_LOG_2_PI = _math.log(2 * _math.pi)
+
+
+def dist_nlml_2d(K, y, mesh, axis_r="rows", axis_c="cols", block=256):
+    """Negative log marginal likelihood with ``K`` sharded over a 2-D mesh;
+    differentiable w.r.t. ``K`` and ``y`` via the analytic gradient
+    ``dK = 0.5 (K^{-1} - alpha alpha^T)`` (per output column), exactly as
+    the 1-D ``dist_nlml`` but with every GEMM partitioned over both mesh
+    axes."""
+    return _dist_nlml_2d(K, y, mesh, axis_r, axis_c, block)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _dist_nlml_2d(K, y, mesh, axis_r, axis_c, block):
+    nlml, _ = _dist_nlml_2d_fwd(K, y, mesh, axis_r, axis_c, block)
+    return nlml
+
+
+@config.pin_matmul_precision
+def _dist_nlml_2d_fwd(K, y, mesh, axis_r, axis_c, block):
+    N = K.shape[-1]
+    L, Linv = dist_cholesky_2d_with_inv(
+        K, mesh, axis_r=axis_r, axis_c=axis_c, block=block
+    )
+    y2 = y if y.ndim == 2 else y[:, None]
+    m = y2.shape[-1]
+    half = _solve_lower_2d(L, y2, mesh, axis_r, axis_c, block)
+    quad = jnp.sum(half * half)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    nlml = 0.5 * (m * logdet + quad + m * N * _LOG_2_PI)
+    return nlml, (Linv, half, y)
+
+
+@config.pin_matmul_precision
+def _dist_nlml_2d_bwd(mesh, axis_r, axis_c, block, residuals, g):
+    Linv, half, y = residuals
+    m = y.shape[-1] if y.ndim == 2 else 1
+    shard2 = NamedSharding(mesh, P(axis_r, axis_c))
+    alpha = jnp.matmul(Linv.T, half, preferred_element_type=Linv.dtype)
+    Kinv = jax.lax.with_sharding_constraint(
+        jnp.matmul(Linv.T, Linv, preferred_element_type=Linv.dtype), shard2
+    )
+    Kbar = 0.5 * g * (m * Kinv - jnp.matmul(alpha, alpha.T))
+    ybar = g * alpha
+    return Kbar, ybar if y.ndim == 2 else ybar[:, 0]
+
+
+_dist_nlml_2d.defvjp(_dist_nlml_2d_fwd, _dist_nlml_2d_bwd)
+
+
 def _solve_lower_2d(L, B, mesh, axis_r, axis_c, block):
     """Solve ``L X = B`` over the 2-D mesh: divide-and-conquer with
     GSPMD-sharded off-diagonal GEMMs; at the base size the (small) ``L``
@@ -270,8 +395,12 @@ def _solve_lower_2d(L, B, mesh, axis_r, axis_c, block):
         return jax.lax.with_sharding_constraint(a, shard2)
 
     if N <= _REC_BASE:
+        # Shard the RHS columns when they divide the axis; replicate thin
+        # right-hand sides (e.g. a single observation column).
+        c = mesh.shape[axis_c]
+        col_spec = axis_c if B.shape[-1] % c == 0 else None
         B_sh = jax.lax.with_sharding_constraint(
-            B, NamedSharding(mesh, P(None, axis_c))
+            B, NamedSharding(mesh, P(None, col_spec))
         )
         L_rep = jax.lax.with_sharding_constraint(
             L, NamedSharding(mesh, P(None, None))

@@ -82,3 +82,71 @@ def test_dist_cholesky_2d_work_balance():
     f1 = flops(make_grid_mesh(1, 1))
     f8 = flops(make_grid_mesh(2, 4))
     assert f8 <= 0.35 * f1, (f8, f1, f8 / f1)
+
+
+def test_dist_cholesky_2d_with_inv_parity(monkeypatch):
+    monkeypatch.setattr(c2d, "_REC_BASE", 64)
+    mesh = make_grid_mesh(2, 4)
+    K = _psd(128, seed=11)
+    L, Linv = c2d.dist_cholesky_2d_with_inv(K, mesh, block=8)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(Linv) @ np.asarray(L), np.eye(128), atol=1e-8
+    )
+
+
+def test_dist_nlml_2d_parity_and_grad(monkeypatch):
+    monkeypatch.setattr(c2d, "_REC_BASE", 64)
+    from stheno_tpu import EQ, GP
+    from stheno_tpu.parallel import dist_nlml_2d
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from stheno_tpu import pairwise, dense as mdense
+
+    mesh = make_grid_mesh(2, 4)
+    n = 128
+    x = jnp.linspace(0, 10, n)
+    y = jnp.sin(x)
+
+    def nlml_dist(log_ell):
+        k = EQ().stretch(jnp.exp(log_ell))
+        K = jnp.asarray(mdense(pairwise(k, x[:, None]))) + 0.1 * jnp.eye(n)
+        K = jax.lax.with_sharding_constraint(
+            K, NamedSharding(mesh, P("rows", "cols"))
+        )
+        return dist_nlml_2d(K, y, mesh, block=8)
+
+    def nlml_ref(log_ell):
+        f = GP(EQ().stretch(jnp.exp(log_ell)))
+        return -f.measure.logpdf(f(x, 0.1), y)
+
+    p = jnp.asarray(0.3)
+    np.testing.assert_allclose(
+        float(jax.jit(nlml_dist)(p)), float(nlml_ref(p)), rtol=1e-8
+    )
+    g_d = float(jax.jit(jax.grad(nlml_dist))(p))
+    g_r = float(jax.grad(nlml_ref)(p))
+    np.testing.assert_allclose(g_d, g_r, rtol=1e-6)
+
+
+def test_dist_nlml_2d_value_only_prunes_inverse():
+    from stheno_tpu.parallel import dist_nlml_2d
+
+    mesh = make_grid_mesh(2, 4)
+    N = 256
+    K = _psd(N, seed=13)
+    y = jnp.asarray(np.random.RandomState(14).randn(N))
+
+    def flops(fn, *args):
+        return jax.jit(fn).lower(*args).compile().cost_analysis()["flops"]
+
+    f_chol = flops(
+        lambda K: c2d._dist_cholesky_2d_loop(K, mesh, "rows", "cols", 16), K
+    )
+    f_val = flops(lambda K: dist_nlml_2d(K, y, mesh, block=16), K)
+    f_vg = flops(
+        jax.value_and_grad(lambda K: dist_nlml_2d(K, y, mesh, block=16)), K
+    )
+    assert f_val <= 1.3 * f_chol, (f_val, f_chol)
+    assert f_vg > 2.0 * f_val  # The gradient actually pays for the inverse.
