@@ -1,6 +1,10 @@
 from .cg import batched_cg
 from .matvec import kernel_matvec
-from .nlml import iterative_nlml, iterative_posterior_mean
+from .nlml import (
+    iterative_nlml,
+    iterative_posterior_mean,
+    iterative_posterior_var,
+)
 from .pchol import pivoted_cholesky, woodbury_preconditioner
 from .slq import lanczos, slq_logdet
 from .toeplitz import (
@@ -22,6 +26,7 @@ __all__ = [
     "kernel_matvec",
     "iterative_nlml",
     "iterative_posterior_mean",
+    "iterative_posterior_var",
     "pivoted_cholesky",
     "woodbury_preconditioner",
     "lanczos",

@@ -34,7 +34,11 @@ from .pchol import (
 from .slq import cg_quadrature_logdet
 from .. import config
 
-__all__ = ["iterative_nlml", "iterative_posterior_mean"]
+__all__ = [
+    "iterative_nlml",
+    "iterative_posterior_mean",
+    "iterative_posterior_var",
+]
 
 _LOG_2_PI = math.log(2 * math.pi)
 
@@ -233,3 +237,55 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
 
     _, out = lax.scan(body, None, xn_pad.reshape(nb, blk, xn.shape[1]))
     return out.reshape(nb * blk)[:m], info
+
+
+@config.pin_matmul_precision
+def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
+                            cg_tol=1e-6, max_cg_iters=1000,
+                            precond_rank=64, block=4096, chunk=512):
+    """Matrix-free posterior variance diagonal at ``x_new``:
+    ``var_i = k(x*_i, x*_i) - k_*i^T (K + noise I)^{-1} k_*i``.
+
+    Test points are processed in ``chunk``-column batches: each batch's
+    cross-covariances ``k(x, X*_chunk)`` form the CG right-hand sides, so
+    every Gram-tile sweep is shared by the whole chunk (an extra RHS is
+    nearly free) and peak memory stays O(N * chunk). Complements
+    :func:`iterative_posterior_mean` — together they give exact-GP
+    predictions at N far beyond the dense-Cholesky path.
+    """
+    from ..kernels import elwise as k_elwise
+
+    k = kernel_fn(params)
+    x_arr = jnp.asarray(x)
+    if x_arr.ndim == 1:
+        x_arr = x_arr[:, None]
+    xn = jnp.asarray(x_new)
+    if xn.ndim == 1:
+        xn = xn[:, None]
+    m = xn.shape[0]
+    mv = lambda v: kernel_matvec(k, x_arr, v, noise=noise, block=block)
+    precond = None
+    if precond_rank and precond_rank > 0:
+        L = pivoted_cholesky(k, x_arr, precond_rank)
+        precond = woodbury_preconditioner(L, noise)
+
+    chunk = min(chunk, m)
+    nchunks = -(-m // chunk)
+    m_pad = nchunks * chunk
+    xn_pad = jnp.zeros((m_pad, xn.shape[1]), xn.dtype).at[:m].set(xn)
+
+    from ..kernels import pairwise as k_pairwise
+    from ..matrix import dense as mat_dense
+
+    def one_chunk(xc):
+        K_xc = jnp.asarray(mat_dense(k_pairwise(k, x_arr, xc)))  # (N, chunk)
+        sol, _ = batched_cg(
+            mv, K_xc, precond=precond, tol=cg_tol, max_iters=max_cg_iters
+        )
+        return jnp.sum(K_xc * sol, axis=0)  # (chunk,)
+
+    reductions = jax.lax.map(
+        one_chunk, xn_pad.reshape(nchunks, chunk, xn.shape[1])
+    ).reshape(m_pad)[:m]
+    prior = jnp.asarray(mat_dense(k_elwise(k, xn)))[:, 0]
+    return jnp.maximum(prior - reductions, 0.0)

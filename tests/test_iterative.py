@@ -280,3 +280,23 @@ def test_cg_tridiag_buffers_contiguous():
         # Recorded alphas are positive (SPD operator), padding is zero.
         assert np.all(np.asarray(alphas[:s, j]) > 0)
         assert np.all(np.asarray(alphas[s:, j]) == 0)
+
+
+def test_iterative_posterior_var():
+    """Matrix-free posterior variance == the DSL's dense marginals,
+    including the chunked path (chunk smaller than the test set)."""
+    from stheno_tpu.iterative import iterative_posterior_var
+
+    x, y = _setup(150)
+    kernel_fn = lambda p: 1.5 * EQ().stretch(0.8)
+    x_new = jnp.linspace(0, 10, 70)
+    var_it = iterative_posterior_var(
+        kernel_fn, None, x, y, 0.1, x_new,
+        cg_tol=1e-10, block=64, precond_rank=40, chunk=32,
+    )
+    f = GP(1.5 * EQ().stretch(0.8))
+    post = f | (f(x, 0.1), y)
+    _, var_ref = post(x_new).marginals()
+    np.testing.assert_allclose(
+        np.asarray(var_it), np.asarray(var_ref), rtol=1e-4, atol=1e-8
+    )
