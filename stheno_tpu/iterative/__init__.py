@@ -13,6 +13,7 @@ from .toeplitz import (
     grid_iterative_nlml,
     grid_matvec,
     grid_posterior_mean,
+    grid_posterior_var,
 )
 from .kron import (
     kron_gram_factors,
@@ -36,6 +37,7 @@ __all__ = [
     "grid_iterative_nlml",
     "grid_matvec",
     "grid_posterior_mean",
+    "grid_posterior_var",
     "kron_gram_factors",
     "kron_matvec",
     "kron_nlml",

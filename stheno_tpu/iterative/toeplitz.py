@@ -42,6 +42,7 @@ __all__ = [
     "grid_matvec",
     "grid_iterative_nlml",
     "grid_posterior_mean",
+    "grid_posterior_var",
 ]
 
 
@@ -241,3 +242,60 @@ def grid_posterior_mean(
         xn = xn[:, None]
     mean = kernel_matvec(k, xn, alpha, x_cols=x, block=block)
     return mean, info
+
+
+@config.pin_matmul_precision
+def grid_posterior_var(
+    kernel_fn,
+    params,
+    axes,
+    y,
+    noise,
+    x_new,
+    *,
+    cg_tol=1e-6,
+    max_cg_iters=1000,
+    precond_rank=64,
+    block=4096,
+    chunk=512,
+):
+    """Posterior variance diagonal at arbitrary ``x_new`` from gridded
+    observations: the chunked batched-CG reduction of
+    ``iterative_posterior_var`` with every solve's matvec replaced by the
+    O(N log N) circulant embedding."""
+    from .matvec import kernel_matvec
+    from ..kernels import pairwise as k_pairwise
+    from ..matrix import dense as mat_dense
+
+    axes = _as_axes(axes)
+    k = kernel_fn(params)
+    _check_stationary(k)
+    x = grid_coords(axes)
+    spectrum = circulant_spectrum(k, axes)
+    mv = lambda v: grid_matvec(k, axes, v, noise=noise, spectrum=spectrum)
+    precond = None
+    if precond_rank and precond_rank > 0:
+        L = pivoted_cholesky(k, x, precond_rank)
+        precond = woodbury_preconditioner(L, noise)
+
+    xn = jnp.asarray(x_new)
+    if xn.ndim == 1:
+        xn = xn[:, None]
+    m = xn.shape[0]
+    chunk = min(chunk, m)
+    nchunks = -(-m // chunk)
+    m_pad = nchunks * chunk
+    xn_pad = jnp.zeros((m_pad, xn.shape[1]), xn.dtype).at[:m].set(xn)
+
+    def one_chunk(xc):
+        K_xc = jnp.asarray(mat_dense(k_pairwise(k, x, xc)))  # (N, chunk)
+        sol, _ = batched_cg(
+            mv, K_xc, precond=precond, tol=cg_tol, max_iters=max_cg_iters
+        )
+        return jnp.sum(K_xc * sol, axis=0)
+
+    reductions = jax.lax.map(
+        one_chunk, xn_pad.reshape(nchunks, chunk, xn.shape[1])
+    ).reshape(m_pad)[:m]
+    prior = jnp.asarray(mat_dense(elwise(k, xn)))[:, 0]
+    return jnp.maximum(prior - reductions, 0.0)

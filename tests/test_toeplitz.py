@@ -174,3 +174,23 @@ def test_grid_nlml_jits_2d():
     f = GP(kf(params))
     dense_val = -f.measure.logpdf(f(x, 0.1), y)
     np.testing.assert_allclose(float(val), float(dense_val), rtol=5e-2)
+
+
+def test_grid_posterior_var_matches_dsl():
+    from stheno_tpu.iterative import grid_posterior_var
+
+    axes = (jnp.linspace(0.0, 6.0, 16), jnp.linspace(0.0, 3.0, 8))
+    x = grid_coords(axes)
+    r = np.random.RandomState(8)
+    y = jnp.asarray(np.sin(np.asarray(x).sum(axis=1)) + 0.05 * r.randn(128))
+    kf = lambda p: 1.3 * EQ().stretch(0.9)
+    x_new = jnp.asarray(r.rand(41, 2) * [[6.0, 3.0]])
+    var_g = grid_posterior_var(
+        kf, None, axes, y, 0.1, x_new, cg_tol=1e-10, precond_rank=40, chunk=16
+    )
+    f = GP(1.3 * EQ().stretch(0.9))
+    post = f | (f(x, 0.1), y)
+    _, var_ref = post(x_new).marginals()
+    np.testing.assert_allclose(
+        np.asarray(var_g), np.asarray(var_ref), rtol=1e-4, atol=1e-8
+    )
