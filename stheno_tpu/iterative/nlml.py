@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from .cg import batched_cg
 from .matvec import kernel_matvec
 from .pchol import (
+    eig_preconditioner_factors,
+    eig_preconditioner_ops,
     pivoted_cholesky,
     preconditioner_sqrt_ops,
     woodbury_preconditioner,
@@ -57,10 +59,20 @@ def iterative_nlml(
     max_cg_iters=500,
     slq_steps=20,
     precond_rank=64,
+    precond_method="eig",
+    precond_power_iters=1,
     block=4096,
 ):
     """Stochastic estimate of the exact-GP NLML, differentiable w.r.t.
     ``params``, ``noise``, ``y`` (and ``x``).
+
+    ``precond_method``: ``"eig"`` (default) builds ``P = noise I +
+    U diag(lam) U^T`` from a randomized subspace iteration of the Gram
+    operator — GEMM-shaped, f32-robust at large N (each application is
+    diagonal in the eigenbasis); ``"pivoted"`` is the greedy
+    pivoted-Cholesky/Woodbury factory, accurate in f64 at small N but
+    measured to stall CG at the N=262,144 f32 scale (see
+    ``pchol.eig_preconditioner_factors``).
 
     Note: Gram tiles stay in the input dtype. bf16 tiles
     (``kernel_matvec(tile_dtype=...)``) are measurably unsafe *inside this
@@ -78,18 +90,25 @@ def iterative_nlml(
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n = x.shape[0]
-    k1, _ = jax.random.split(jax.lax.stop_gradient(key))
+    k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
     u = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
+    om = None
+    if precond_method == "eig" and precond_rank and precond_rank > 0:
+        om = jax.random.normal(
+            k2, (n, min(precond_rank, n)), dtype=y.dtype
+        )
     matvec_fn = lambda k, xx, v, nz: kernel_matvec(k, xx, v, noise=nz, block=block)
     return _nlml(
-        params, y, jnp.asarray(noise), x, u, kernel_fn, matvec_fn,
+        params, y, jnp.asarray(noise), x, u, om, kernel_fn, matvec_fn,
         None, cg_tol, max_cg_iters, slq_steps, precond_rank,
+        precond_method, precond_power_iters,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _nlml(params, y, noise, x, u, kernel_fn, matvec_fn,
-          surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps, precond_rank):
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
+def _nlml(params, y, noise, x, u, om, kernel_fn, matvec_fn,
+          surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps, precond_rank,
+          precond_method="pivoted", precond_power_iters=1):
     """Shared stochastic-NLML core.
 
     ``u`` are standard-normal probes; the forward draws ``z = P^{1/2} u``
@@ -101,16 +120,16 @@ def _nlml(params, y, noise, x, u, kernel_fn, matvec_fn,
     x_bar)`` supplies the backward-pass surrogate gradient with
     ``w = P^{-1} z``; ``None`` selects the single-chip default (``jax.grad``
     through ``matvec_fn`` of the fused ``[w, alpha]`` sweep)."""
-    val, _ = _nlml_fwd(params, y, noise, x, u, kernel_fn, matvec_fn,
+    val, _ = _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
                        surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
-                       precond_rank)
+                       precond_rank, precond_method, precond_power_iters)
     return val
 
 
 @config.pin_matmul_precision
-def _nlml_fwd(params, y, noise, x, u, kernel_fn, matvec_fn,
+def _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
               surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
-              precond_rank):
+              precond_rank, precond_method, precond_power_iters):
     n = x.shape[0]
     k = kernel_fn(jax.tree.map(jax.lax.stop_gradient, params))
     noise_sg = jax.lax.stop_gradient(noise)
@@ -120,28 +139,72 @@ def _nlml_fwd(params, y, noise, x, u, kernel_fn, matvec_fn,
 
     mv = lambda v: matvec_fn(k, x_sg, v, noise_sg)
 
-    precond = None
-    logdet_p = 0.0
-    z = u
-    if precond_rank and precond_rank > 0:
-        L = pivoted_cholesky(k, x_sg, precond_rank)
-        precond = woodbury_preconditioner(L, noise_sg)
-        _, apply_half, logdet_p = preconditioner_sqrt_ops(L, noise_sg)
-        # Probes ~ N(0, P): the PCG quadrature below then estimates
-        # tr log(P^{-1/2} K P^{-1/2}), whose Hutchinson variance collapses
-        # because the whitened operator is near-identity.
-        z = apply_half(u)
-
-    rhs = jnp.concatenate([y_sg[:, None], z], axis=1)
-    sol, info = batched_cg(
-        mv,
-        rhs,
-        precond=precond,
-        tol=cg_tol,
-        max_iters=max_cg_iters,
-        track_tridiag=min(quad_steps, max_cg_iters),
+    use_eig = (
+        precond_method == "eig" and bool(precond_rank) and precond_rank > 0
     )
-    alpha, U = sol[:, 0], sol[:, 1:]
+    if use_eig:
+        # Split-preconditioned CG on the explicitly whitened operator
+        # At = P^{-1/2} A P^{-1/2} (A = K + noise I). Two reasons, both
+        # measured on the N=262,144 f32 north-star step:
+        #   1. CG's attainable residual floor is eps_matvec * kappa of the
+        #      operator it recurses on. For A itself kappa ~ lambda_max /
+        #      noise (~6.5e5 here) puts the floor at ~1e-2 — the solve
+        #      hovers at tol, taking anywhere from 45 to 137 iterations
+        #      depending on the probe draw. The whitened operator's kappa
+        #      is O(1), the floor ~1e-7, and CG converges in ~10 stable
+        #      iterations.
+        #   2. The probes enter as plain u ~ N(0, I): the CG coefficients
+        #      are the Lanczos tridiagonal of At with start vector u, so
+        #      the quadrature estimates tr log(At) directly (logdet K =
+        #      logdet P + tr log At) with the whitening-collapsed variance.
+        # P^{+-1/2} are diagonal in the eigenbasis of the subspace-iteration
+        # preconditioner — two (n, r) GEMMs each, exact and symmetric.
+        mv_raw = lambda v: matvec_fn(k, x_sg, v, None)
+        Ue, lam = eig_preconditioner_factors(
+            mv_raw, jax.lax.stop_gradient(om), precond_power_iters
+        )
+        _, apply_half, apply_half_inv, logdet_p = eig_preconditioner_ops(
+            Ue, lam, noise_sg, n
+        )
+        mv_white = lambda v: apply_half_inv(mv(apply_half_inv(v)))
+        rhs = jnp.concatenate([apply_half_inv(y_sg)[:, None], u], axis=1)
+        sol, info = batched_cg(
+            mv_white,
+            rhs,
+            tol=cg_tol,
+            max_iters=max_cg_iters,
+            track_tridiag=min(quad_steps, max_cg_iters),
+        )
+        # Back to unwhitened space: alpha = A^{-1} y; U = A^{-1} z with
+        # z = P^{1/2} u; w = P^{-1} z = P^{-1/2} u (E[u w^T] = A^{-1}
+        # under the whitened probes — the backward surrogate's estimator).
+        alpha = apply_half_inv(sol[:, 0])
+        U = apply_half_inv(sol[:, 1:])
+        w = apply_half_inv(u)
+    else:
+        precond = None
+        logdet_p = 0.0
+        z = u
+        if precond_rank and precond_rank > 0:
+            L = pivoted_cholesky(k, x_sg, precond_rank)
+            precond = woodbury_preconditioner(L, noise_sg)
+            _, apply_half, logdet_p = preconditioner_sqrt_ops(L, noise_sg)
+            # Probes ~ N(0, P): the PCG quadrature below then estimates
+            # tr log(P^{-1/2} K P^{-1/2}), whose Hutchinson variance
+            # collapses because the whitened operator is near-identity.
+            z = apply_half(u)
+
+        rhs = jnp.concatenate([y_sg[:, None], z], axis=1)
+        sol, info = batched_cg(
+            mv,
+            rhs,
+            precond=precond,
+            tol=cg_tol,
+            max_iters=max_cg_iters,
+            track_tridiag=min(quad_steps, max_cg_iters),
+        )
+        alpha, U = sol[:, 0], sol[:, 1:]
+        w = precond(z) if precond is not None else z
 
     # Logdet for free from the probe columns' CG coefficients (mBCG).
     alphas_t, betas_t, steps_t = info["tridiag"]
@@ -151,15 +214,15 @@ def _nlml_fwd(params, y, noise, x, u, kernel_fn, matvec_fn,
     )
     quad = jnp.sum(y_sg * alpha)
     nlml = 0.5 * (logdet + quad + n * _LOG_2_PI)
-    w = precond(z) if precond is not None else z
-    residuals = (params, noise, x, alpha, U, w)
+    residuals = (params, noise, x, alpha, U, w, om)
     return nlml, residuals
 
 
 @config.pin_matmul_precision
 def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
-              quad_steps, precond_rank, residuals, g):
-    params, noise, x, alpha, U, w = residuals
+              quad_steps, precond_rank, precond_method, precond_power_iters,
+              residuals, g):
+    params, noise, x, alpha, U, w, om = residuals
     alpha = jax.lax.stop_gradient(alpha)
     U = jax.lax.stop_gradient(U)
     w = jax.lax.stop_gradient(w)
@@ -170,7 +233,8 @@ def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
     p_bar, noise_bar, x_bar = surrogate_grad_fn(params, noise, x, U, w, alpha)
     p_bar = jax.tree.map(lambda t: t * g, p_bar)
     y_bar = g * alpha
-    return p_bar, y_bar, noise_bar * g, x_bar * g, jnp.zeros_like(w)
+    om_bar = None if om is None else jnp.zeros_like(om)
+    return p_bar, y_bar, noise_bar * g, x_bar * g, jnp.zeros_like(w), om_bar
 
 
 def make_surrogate_grad(kernel_fn, matvec_fn):

@@ -171,6 +171,8 @@ def grid_iterative_nlml(
     max_cg_iters=500,
     slq_steps=20,
     precond_rank=64,
+    precond_method="eig",
+    precond_power_iters=1,
 ):
     """Stochastic exact-GP NLML on a uniform grid with circulant matvecs:
     the ``iterative_nlml`` estimator (CG + preconditioned SLQ forward,
@@ -193,15 +195,19 @@ def grid_iterative_nlml(
     x = grid_coords(axes)
     y = jnp.asarray(y)
     n = x.shape[0]
-    k1, _ = jax.random.split(jax.lax.stop_gradient(key))
+    k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
     u = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
+    om = None
+    if precond_method == "eig" and precond_rank and precond_rank > 0:
+        om = jax.random.normal(k2, (n, min(precond_rank, n)), dtype=y.dtype)
 
     def matvec_fn(k, xx, v, nz):
         return grid_matvec(k, _axes_from_coords(xx, shape), v, noise=nz)
 
     return _nlml(
-        params, y, jnp.asarray(noise), x, u, kernel_fn, matvec_fn,
+        params, y, jnp.asarray(noise), x, u, om, kernel_fn, matvec_fn,
         None, cg_tol, max_cg_iters, slq_steps, precond_rank,
+        precond_method, precond_power_iters,
     )
 
 

@@ -186,6 +186,8 @@ def sharded_iterative_nlml(
     max_cg_iters=200,
     slq_steps=16,
     precond_rank=64,
+    precond_method="eig",
+    precond_power_iters=1,
     block=4096,
 ):
     """Exact-GP NLML estimate with every matvec distributed over the mesh.
@@ -200,8 +202,13 @@ def sharded_iterative_nlml(
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n = x.shape[0]
-    k1, _ = jax.random.split(jax.lax.stop_gradient(key))
+    k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
     u = jax.random.normal(k1, (n, num_probes), y.dtype)
+    om = None
+    if precond_method == "eig" and precond_rank and precond_rank > 0:
+        # The eig factory only touches the operator through matvec_fn, so
+        # the preconditioner build distributes over the mesh for free.
+        om = jax.random.normal(k2, (n, min(precond_rank, n)), y.dtype)
     matvec_fn = lambda k, xx, v, nz: sharded_kernel_matvec(
         k, xx, v, mesh, axis=axis, noise=nz, block=block
     )
@@ -209,6 +216,7 @@ def sharded_iterative_nlml(
         kernel_fn, mesh, axis=axis, block=block
     )
     return _nlml(
-        params, y, jnp.asarray(noise), x, u, kernel_fn, matvec_fn,
+        params, y, jnp.asarray(noise), x, u, om, kernel_fn, matvec_fn,
         surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps, precond_rank,
+        precond_method, precond_power_iters,
     )
