@@ -217,14 +217,24 @@ def bench_dist_elbo_1m(dtype):
         k = EQ().stretch(ell)
         return dist_elbo(k, z, x, y, jnp.asarray(0.1, dtype), mesh)
 
-    vg = jax.jit(jax.value_and_grad(elbo))
+    vg = jax.value_and_grad(elbo)
+    v0, g0 = jax.jit(vg)(jnp.asarray(1.0, dtype))
+    assert np.isfinite(float(v0)) and np.isfinite(float(g0))
 
-    def step():
-        v, g = vg(jnp.asarray(1.0, dtype))
-        assert np.isfinite(float(v))
-        float(g)
+    def make(iters):
+        @jax.jit
+        def many():
+            def body(i, acc):
+                v, g = vg(jnp.asarray(1.0, dtype) + acc * 1e-30)
+                return acc + (v + g) * 1e-30
 
-    return _direct_time(step, repeats=3) * 1e3
+            return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
+
+        return many
+
+    # Slope timing: at ~150 ms/step the ~25-60 ms tunnel dispatch cost
+    # would otherwise pollute the reading by tens of percent.
+    return _slope_time(make, 2, 12, repeats=3) * 1e3
 
 
 def main():

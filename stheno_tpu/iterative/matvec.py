@@ -69,15 +69,14 @@ def kernel_matvec(
         precision: MXU precision for the *tile products* ``K_b @ v`` (the
             O(N^2 p) GEMM work). Default ``"high"`` (three bf16 passes,
             ~4e-6 relative rounding): inside CG/SLQ the solves are governed
-            by ``cg_tol`` (1e-2..1e-6) and the estimators are stochastic, so
-            six-pass exactness buys nothing — measured on the N=262,144
-            NLML+grad step (v5e), "highest" costs 48.5 s vs 28.3 s at
-            "high" for a value difference of 1.3e-6 relative (inside SLQ
-            probe noise). Do NOT drop to "default"/bf16-pass: it is only
-            1.9x faster than "high" (15.0 s) but the input rounding puts
-            the NLML 18% off with gradients ~9x wrong — CG converges to the
-            rounded operator's solution, not K's. The Gram *tile build*
-            (distance matmuls) stays at the pinned library default
+            by ``cg_tol`` (1e-2..1e-6) and the estimators are stochastic,
+            so six-pass exactness buys nothing (measured end-to-end on the
+            N=262,144 NLML+grad step: "highest" costs ~1.7x the "high"
+            step for a value difference of 1.3e-6 relative — inside probe
+            noise). Do NOT drop to "default"/bf16-pass: the input rounding
+            puts the NLML 18% off with gradients ~9x wrong — CG converges
+            to the rounded operator's solution, not K's. The Gram *tile
+            build* (distance matmuls) stays at the pinned library default
             regardless. Pass ``None`` to inherit
             ``config.matmul_precision``.
         symmetric: exploit ``K = K^T`` in the square case — each
@@ -86,9 +85,9 @@ def kernel_matvec(
             OFF by default: on v5e the tile saving does not pay (16.6 vs
             15.6 ms/matvec at n=65536, block=8192 — the row sweep is
             GEMM/HBM-bound, not epilogue-bound) and reverse mode through
-            the pair sweep's scatter-adds is ~2x slower end-to-end
-            (N=262,144 NLML+grad: 29.8 s vs 14.4 s). Use only for
-            forward-only workloads that need exact operator symmetry.
+            the pair sweep's scatter-adds is ~2x slower end-to-end on the
+            N=262,144 NLML+grad step. Use only for forward-only workloads
+            that need exact operator symmetry.
 
     Returns:
         ``(n, p)`` (or ``(n,)`` matching ``v``).

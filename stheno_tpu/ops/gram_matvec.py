@@ -14,8 +14,16 @@ into an O(N p) output, so the Pallas VMEM->HBM store bottleneck that
 retires the full-Gram kernel (~255 GB/s vs XLA's ~820 GB/s) does not
 apply.
 
-See docs/scaling.md "Pallas kernels" for the head-to-head measurement
-against the XLA scan sweep and the resulting default-path policy.
+Measured head-to-head (TPU v5e, 2026-08, d=1, p=9, f32): 97.2 ms vs
+37.2 ms for the XLA scan sweep at n=65536, and 1184 ms vs 239 ms at
+N=262,144 — the XLA path wins and stays the default. Two causes, both
+structural on this toolchain: Mosaic rejects three-pass
+``Precision.HIGH``, forcing six-pass HIGHEST on the in-kernel tile
+products, and XLA's fusion already eliminates all O(N^2) HBM traffic
+(the compiled scan's cost analysis reports 42.8 MB accessed for the
+n=65536 matvec where a tile round-trip would be ~17 GB), so there is
+nothing left to fuse. Kept for explicit use and as the measured
+retirement evidence (docs/scaling.md "Pallas kernels").
 
 Forward-only by design: the iterative NLML differentiates a *surrogate*
 sweep (``nlml.py:make_surrogate_grad``), never the CG matvec itself.

@@ -1,7 +1,9 @@
 from .checkpoint import load_pytree, load_vars, save_pytree, save_vars
 from .monitor import StepMetrics, exact_gp_flops, trace
+from .resilience import resumable_minimise
 
 __all__ = [
+    "resumable_minimise",
     "save_pytree",
     "load_pytree",
     "save_vars",

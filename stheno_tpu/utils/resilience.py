@@ -1,0 +1,167 @@
+"""Fault-tolerant training loops: checkpointed optimisation with automatic
+resume and non-finite-step recovery.
+
+The reference has no failure-detection or recovery machinery (SURVEY.md §5:
+"none — rely on restart semantics"); for long-running hyperparameter
+optimisation on preemptible TPU slices this module supplies the missing
+piece: a step-loop wrapper that (a) atomically checkpoints the last
+*validated* ``(params, opt_state, step)`` pytree every ``checkpoint_every``
+steps, (b) resumes mid-run from the newest checkpoint after a process
+restart, and (c) detects non-finite objectives/gradients (f32 Cholesky
+blow-ups, overshoot into NaN basins — see the optimiser-loop gotcha in
+CLAUDE.md) and rolls back: the previous step's update is re-applied at a
+halved scale until the objective evaluates finite again.
+
+Checkpoint atomicity comes from :func:`save_pytree`'s write-then-rename;
+a crash mid-write never corrupts the previous checkpoint.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .checkpoint import load_pytree, save_pytree
+
+__all__ = ["resumable_minimise"]
+
+
+def _all_finite(*trees):
+    leaves = [l for t in trees for l in jax.tree.leaves(t)]
+    if not leaves:
+        return True
+    return bool(
+        jnp.all(jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]))
+    )
+
+
+def resumable_minimise(
+    objective,
+    params,
+    *,
+    steps,
+    checkpoint_path,
+    checkpoint_every=10,
+    optimizer=None,
+    rate=5e-3,
+    max_retries=6,
+    trace=False,
+):
+    """Minimise ``objective(params)`` with checkpoint/resume and bad-step
+    rollback.
+
+    A step is only *validated* once the objective evaluates finite at the
+    parameters it produced — a diverged update (finite parameters landing
+    in a region where the objective is NaN/inf) is therefore caught at the
+    next evaluation, rolled back to the last validated state, and the same
+    gradients re-applied at a halved scale (halving repeats up to
+    ``max_retries`` times before ``FloatingPointError``). Checkpoints
+    store the last validated state, so a resumed run never starts inside a
+    bad region.
+
+    Args:
+        objective: scalar pytree -> () function (e.g. an NLML closure);
+            differentiated with ``jax.value_and_grad`` under ``jit``.
+        params: initial parameter pytree (ignored when a checkpoint with
+            completed steps exists at ``checkpoint_path``).
+        steps: total number of optimisation steps for the run.
+        checkpoint_path: file path for the rolling checkpoint. A restarted
+            process pointing at the same path continues where the dead one
+            stopped.
+        checkpoint_every: persist state every this many validated steps
+            (and at the final step).
+        optimizer: optional optax gradient transformation (default: Adam
+            at ``rate``).
+        max_retries: consecutive halvings tolerated per rollback episode.
+        trace: collect per-step objective values.
+
+    Returns:
+        ``(params, info)`` with ``info = {"steps_run", "resumed_from",
+        "objective_trace", "rejected_steps"}``.
+    """
+    if optimizer is None:
+        optimizer = optax.adam(rate)
+    opt_state = optimizer.init(params)
+    start_step = 0
+    resumed_from = None
+
+    state_template = {
+        "params": params,
+        "opt_state": opt_state,
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    if os.path.exists(checkpoint_path):
+        state = load_pytree(checkpoint_path, like=state_template)
+        params, opt_state = state["params"], state["opt_state"]
+        start_step = int(state["step"])
+        resumed_from = start_step
+
+    vg = jax.jit(jax.value_and_grad(objective))
+
+    @jax.jit
+    def apply(params, opt_state, grads, scale):
+        scaled = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = optimizer.update(scaled, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    history = []
+    rejected = 0
+    # ``step`` counts completed (validated) parameter updates. The loop
+    # evaluates at the top and breaks only after the *final* update's
+    # parameters validate, so the returned/checkpointed state always has
+    # ``steps`` applies and a finite objective.
+    step = start_step
+    # Last state whose objective evaluated finite, with the grads taken
+    # there: (params, opt_state, grads). The rollback target.
+    validated = None
+    retries = 0
+    scale = 1.0
+    while True:
+        val, grads = vg(params)
+        if not (bool(jnp.isfinite(val)) and _all_finite(grads)):
+            if validated is None:
+                raise FloatingPointError(
+                    "Objective/gradients non-finite at the initial "
+                    "parameters."
+                )
+            if retries >= max_retries:
+                raise FloatingPointError(
+                    f"Non-finite objective persisted through "
+                    f"{max_retries} halved-step retries at step {step}."
+                )
+            # Roll back: redo the last update from the last validated
+            # state with halved gradients.
+            rejected += 1
+            retries += 1
+            scale *= 0.5
+            params, opt_state = apply(
+                validated[0], validated[1], validated[2], scale
+            )
+            continue
+        retries = 0
+        scale = 1.0
+        validated = (params, opt_state, grads)
+        if trace:
+            history.append(float(val))
+        if step % checkpoint_every == 0 or step == steps:
+            save_pytree(
+                checkpoint_path,
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "step": jnp.asarray(step, jnp.int32),
+                },
+            )
+        if step >= steps:
+            break
+        params, opt_state = apply(params, opt_state, grads, 1.0)
+        step += 1
+
+    info = {
+        "steps_run": step - start_step,
+        "resumed_from": resumed_from,
+        "objective_trace": history,
+        "rejected_steps": rejected,
+    }
+    return params, info

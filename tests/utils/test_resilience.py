@@ -1,0 +1,67 @@
+"""Fault-tolerant training loop: resume after restart, bad-step rollback."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from stheno_tpu.utils import resumable_minimise
+
+
+def test_basic_minimise(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    obj = lambda p: jnp.sum((p["x"] - 2.0) ** 2)
+    params, info = resumable_minimise(
+        obj, {"x": jnp.zeros(2)}, steps=150, checkpoint_path=path,
+        optimizer=optax.adam(0.1), trace=True,
+    )
+    assert info["resumed_from"] is None
+    assert info["steps_run"] == 150
+    assert info["objective_trace"][-1] < info["objective_trace"][0]
+    np.testing.assert_allclose(np.asarray(params["x"]), 2.0, atol=0.1)
+
+
+def test_resume_after_restart(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    obj = lambda p: jnp.sum((p["x"] - 2.0) ** 2)
+    p0 = {"x": jnp.zeros(())}
+    # First "process" runs 6 steps and dies.
+    p1, info1 = resumable_minimise(
+        obj, p0, steps=6, checkpoint_path=path, checkpoint_every=2,
+        optimizer=optax.sgd(0.05),
+    )
+    assert os.path.exists(path)
+    # Restarted process continues from the checkpoint, not from p0.
+    p2, info2 = resumable_minimise(
+        obj, p0, steps=12, checkpoint_path=path, checkpoint_every=2,
+        optimizer=optax.sgd(0.05),
+    )
+    assert info2["resumed_from"] == 6
+    assert info2["steps_run"] == 6
+    # 12 total sgd steps from 0: x = 2 * (1 - 0.9^12)
+    expected = 2.0 * (1 - 0.9**12)
+    np.testing.assert_allclose(float(p2["x"]), expected, rtol=1e-5)
+
+
+def test_rollback_on_nan(tmp_path):
+    # log(1.5 - x): objective is NaN past x = 1.5; a big sgd step from
+    # x=1.4 overshoots into the NaN region and must be halved back.
+    path = str(tmp_path / "ckpt.npz")
+    obj = lambda p: jnp.log(1.5 - p["x"]) + (p["x"] - 0.5) ** 2
+    params, info = resumable_minimise(
+        obj, {"x": jnp.asarray(1.4)}, steps=3, checkpoint_path=path,
+        optimizer=optax.sgd(0.1), max_retries=8,
+    )
+    assert info["rejected_steps"] > 0
+    assert bool(jnp.isfinite(obj(params)))
+
+
+def test_raises_on_bad_init(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    obj = lambda p: jnp.log(-1.0 - p["x"] ** 2)
+    with pytest.raises(FloatingPointError):
+        resumable_minimise(
+            obj, {"x": jnp.asarray(0.0)}, steps=2, checkpoint_path=path
+        )
