@@ -5,7 +5,13 @@ from .nlml import (
     iterative_posterior_mean,
     iterative_posterior_var,
 )
-from .pchol import pivoted_cholesky, woodbury_preconditioner
+from .pchol import (
+    eig_preconditioner_factors,
+    eig_preconditioner_ops,
+    make_whitened_solver,
+    pivoted_cholesky,
+    woodbury_preconditioner,
+)
 from .slq import lanczos, slq_logdet
 from .toeplitz import (
     circulant_spectrum,
@@ -30,6 +36,9 @@ __all__ = [
     "iterative_posterior_var",
     "pivoted_cholesky",
     "woodbury_preconditioner",
+    "eig_preconditioner_factors",
+    "eig_preconditioner_ops",
+    "make_whitened_solver",
     "lanczos",
     "slq_logdet",
     "circulant_spectrum",

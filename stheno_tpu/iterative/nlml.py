@@ -29,6 +29,7 @@ from .matvec import kernel_matvec
 from .pchol import (
     eig_preconditioner_factors,
     eig_preconditioner_ops,
+    make_whitened_solver,
     pivoted_cholesky,
     preconditioner_sqrt_ops,
     woodbury_preconditioner,
@@ -271,14 +272,21 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
     """Matrix-free posterior mean at ``x_new``: solve ``K alpha = y`` by
     preconditioned CG, then one blocked cross-Gram matvec."""
     k = kernel_fn(params)
-    mv = lambda v: kernel_matvec(k, x, v, noise=noise, block=block)
-    precond = None
+    y = jnp.asarray(y)
     if precond_rank and precond_rank > 0:
-        L = pivoted_cholesky(k, x, precond_rank)
-        precond = woodbury_preconditioner(L, noise)
-    alpha, info = batched_cg(
-        mv, jnp.asarray(y), precond=precond, tol=cg_tol, max_iters=max_cg_iters
-    )
+        # Whitened solve: the un-whitened PCG floor stalls in f32 at large
+        # N (see eig_preconditioner_factors).
+        mv_raw = lambda v: kernel_matvec(k, x, v, block=block)
+        solver = make_whitened_solver(
+            mv_raw, jnp.asarray(x).shape[0], noise, precond_rank,
+            dtype=y.dtype,
+        )
+        alpha, info = solver(y, tol=cg_tol, max_iters=max_cg_iters)
+    else:
+        mv = lambda v: kernel_matvec(k, x, v, noise=noise, block=block)
+        alpha, info = batched_cg(
+            mv, y, tol=cg_tol, max_iters=max_cg_iters
+        )
     # Cross matvec: scan over x_new row blocks.
     from ..kernels import pairwise
     from ..matrix import dense
@@ -327,11 +335,16 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
     if xn.ndim == 1:
         xn = xn[:, None]
     m = xn.shape[0]
-    mv = lambda v: kernel_matvec(k, x_arr, v, noise=noise, block=block)
-    precond = None
     if precond_rank and precond_rank > 0:
-        L = pivoted_cholesky(k, x_arr, precond_rank)
-        precond = woodbury_preconditioner(L, noise)
+        mv_raw = lambda v: kernel_matvec(k, x_arr, v, block=block)
+        solver = make_whitened_solver(
+            mv_raw, x_arr.shape[0], noise, precond_rank, dtype=x_arr.dtype
+        )
+    else:
+        mv = lambda v: kernel_matvec(k, x_arr, v, noise=noise, block=block)
+        solver = lambda rhs, tol, max_iters: batched_cg(
+            mv, rhs, tol=tol, max_iters=max_iters
+        )
 
     chunk = min(chunk, m)
     nchunks = -(-m // chunk)
@@ -343,9 +356,7 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
 
     def one_chunk(xc):
         K_xc = jnp.asarray(mat_dense(k_pairwise(k, x_arr, xc)))  # (N, chunk)
-        sol, _ = batched_cg(
-            mv, K_xc, precond=precond, tol=cg_tol, max_iters=max_cg_iters
-        )
+        sol, _ = solver(K_xc, tol=cg_tol, max_iters=max_cg_iters)
         return jnp.sum(K_xc * sol, axis=0)  # (chunk,)
 
     reductions = jax.lax.map(

@@ -18,6 +18,7 @@ __all__ = [
     "woodbury_preconditioner",
     "eig_preconditioner_factors",
     "eig_preconditioner_ops",
+    "make_whitened_solver",
 ]
 
 
@@ -193,3 +194,47 @@ def woodbury_preconditioner(L, noise):
         return out[:, 0] if squeeze else out
 
     return apply
+
+
+@config.pin_matmul_precision
+def make_whitened_solver(
+    mv_raw, n, noise, rank, key=None, *, power_iters=1, dtype=None
+):
+    """Factory for split-preconditioned CG solves of ``(K + noise I) X = B``
+    — the f32-at-scale solve path shared by every matrix-free posterior
+    (``iterative_posterior_mean/var``, pathwise sampling, the grid paths).
+
+    ``mv_raw`` applies ``K`` only (no noise term). The returned
+    ``solve(rhs, tol=..., max_iters=...) -> (X, info)`` closure whitens with
+    the subspace-iteration eig preconditioner built here ONCE — the chunked
+    posterior-variance path reuses it across all chunks. ``key`` seeds the
+    subspace probes; the default fixed key is sound because the
+    preconditioner only affects convergence speed, never the solution.
+
+    Requires scalar ``noise`` (the eigenbasis ops assume ``P = noise I +
+    U diag(lam) U^T``)."""
+    import jax as _jax
+
+    if key is None:
+        key = _jax.random.PRNGKey(0)
+    if dtype is None:
+        dtype = jnp.asarray(noise).dtype
+    om = _jax.random.normal(key, (n, min(rank, n)), dtype)
+    U, lam = eig_preconditioner_factors(mv_raw, om, power_iters)
+    _, _, phi, _ = eig_preconditioner_ops(U, lam, noise, n)
+    noise_arr = jnp.asarray(noise)
+
+    def solve(rhs, *, tol=1e-6, max_iters=1000, **cg_kwargs):
+        def mv_white(v):
+            pv = phi(v)
+            return phi(mv_raw(pv) + noise_arr * pv)
+
+        from .cg import batched_cg
+
+        sol, info = batched_cg(
+            mv_white, phi(jnp.asarray(rhs)), tol=tol, max_iters=max_iters,
+            **cg_kwargs,
+        )
+        return phi(sol), info
+
+    return solve

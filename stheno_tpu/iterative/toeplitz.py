@@ -34,7 +34,7 @@ from ..kernels import elwise
 from .. import config
 from .cg import batched_cg
 from .nlml import _nlml
-from .pchol import pivoted_cholesky, woodbury_preconditioner
+from .pchol import make_whitened_solver, pivoted_cholesky, woodbury_preconditioner
 
 __all__ = [
     "circulant_spectrum",
@@ -235,14 +235,18 @@ def grid_posterior_mean(
     _check_stationary(k)
     x = grid_coords(axes)
     spectrum = circulant_spectrum(k, axes)
-    mv = lambda v: grid_matvec(k, axes, v, noise=noise, spectrum=spectrum)
-    precond = None
+    y = jnp.asarray(y)
     if precond_rank and precond_rank > 0:
-        L = pivoted_cholesky(k, x, precond_rank)
-        precond = woodbury_preconditioner(L, noise)
-    alpha, info = batched_cg(
-        mv, jnp.asarray(y), precond=precond, tol=cg_tol, max_iters=max_cg_iters
-    )
+        mv_raw = lambda v: grid_matvec(k, axes, v, spectrum=spectrum)
+        solver = make_whitened_solver(
+            mv_raw, x.shape[0], noise, precond_rank, dtype=y.dtype
+        )
+        alpha, info = solver(y, tol=cg_tol, max_iters=max_cg_iters)
+    else:
+        mv = lambda v: grid_matvec(k, axes, v, noise=noise, spectrum=spectrum)
+        alpha, info = batched_cg(
+            mv, y, tol=cg_tol, max_iters=max_cg_iters
+        )
     xn = jnp.asarray(x_new)
     if xn.ndim == 1:
         xn = xn[:, None]
@@ -278,11 +282,16 @@ def grid_posterior_var(
     _check_stationary(k)
     x = grid_coords(axes)
     spectrum = circulant_spectrum(k, axes)
-    mv = lambda v: grid_matvec(k, axes, v, noise=noise, spectrum=spectrum)
-    precond = None
     if precond_rank and precond_rank > 0:
-        L = pivoted_cholesky(k, x, precond_rank)
-        precond = woodbury_preconditioner(L, noise)
+        mv_raw = lambda v: grid_matvec(k, axes, v, spectrum=spectrum)
+        solver = make_whitened_solver(
+            mv_raw, x.shape[0], noise, precond_rank, dtype=x.dtype
+        )
+    else:
+        mv = lambda v: grid_matvec(k, axes, v, noise=noise, spectrum=spectrum)
+        solver = lambda rhs, tol, max_iters: batched_cg(
+            mv, rhs, tol=tol, max_iters=max_iters
+        )
 
     xn = jnp.asarray(x_new)
     if xn.ndim == 1:
@@ -295,9 +304,7 @@ def grid_posterior_var(
 
     def one_chunk(xc):
         K_xc = jnp.asarray(mat_dense(k_pairwise(k, x, xc)))  # (N, chunk)
-        sol, _ = batched_cg(
-            mv, K_xc, precond=precond, tol=cg_tol, max_iters=max_cg_iters
-        )
+        sol, _ = solver(K_xc, tol=cg_tol, max_iters=max_cg_iters)
         return jnp.sum(K_xc * sol, axis=0)
 
     reductions = jax.lax.map(

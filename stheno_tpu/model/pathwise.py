@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..iterative.cg import batched_cg
 from ..iterative.matvec import kernel_matvec
-from ..iterative.pchol import pivoted_cholesky, woodbury_preconditioner
+from ..iterative.pchol import make_whitened_solver
 from ..kernels import pairwise
 from ..kernels.features import feature_map
 from ..matrix import add, as_matrix, dense, fill_diag, solve
@@ -105,13 +105,26 @@ def pathwise_sampler(
             mv = lambda u: kernel_matvec(
                 kernel, x2, u, noise=noise, block=block
             )
-        precond = None
-        if precond_rank and precond_rank > 0:
-            L = pivoted_cholesky(kernel, x2, precond_rank)
-            precond = woodbury_preconditioner(L, noise)
-        v, _ = batched_cg(
-            mv, resid, precond=precond, tol=cg_tol, max_iters=max_cg_iters
-        )
+        if precond_rank and precond_rank > 0 and jnp.ndim(noise) == 0:
+            # Whitened eig-preconditioned solve — the f32-at-scale path
+            # (un-whitened PCG stalls at large N; see
+            # iterative/pchol.py:eig_preconditioner_factors).
+            if mesh is not None:
+                from ..parallel.iterative import sharded_kernel_matvec as _skm
+
+                mv_raw = lambda u: _skm(
+                    kernel, x2, u, mesh, axis=axis, block=block
+                )
+            else:
+                mv_raw = lambda u: kernel_matvec(kernel, x2, u, block=block)
+            solver = make_whitened_solver(
+                mv_raw, x2.shape[0], noise, precond_rank, dtype=resid.dtype
+            )
+            v, _ = solver(resid, tol=cg_tol, max_iters=max_cg_iters)
+        else:
+            v, _ = batched_cg(
+                mv, resid, tol=cg_tol, max_iters=max_cg_iters
+            )
     else:
         raise ValueError(f"Unknown solver {solver!r} (use 'chol' or 'cg').")
 
