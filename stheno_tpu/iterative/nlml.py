@@ -152,8 +152,8 @@ def _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
         #      noise (~6.5e5 here) puts the floor at ~1e-2 — the solve
         #      hovers at tol, taking anywhere from 45 to 137 iterations
         #      depending on the probe draw. The whitened operator's kappa
-        #      is O(1), the floor ~1e-7, and CG converges in ~10 stable
-        #      iterations.
+        #      is O(1), the floor ~1e-7, and CG converges in 2-3 stable
+        #      iterations (measured at the bench tol 1e-2; ~20 at 1e-6).
         #   2. The probes enter as plain u ~ N(0, I): the CG coefficients
         #      are the Lanczos tridiagonal of At with start vector u, so
         #      the quadrature estimates tr log(At) directly (logdet K =
@@ -273,9 +273,11 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
     preconditioned CG, then one blocked cross-Gram matvec."""
     k = kernel_fn(params)
     y = jnp.asarray(y)
-    if precond_rank and precond_rank > 0:
+    if precond_rank and precond_rank > 0 and jnp.ndim(noise) == 0:
         # Whitened solve: the un-whitened PCG floor stalls in f32 at large
-        # N (see eig_preconditioner_factors).
+        # N (see eig_preconditioner_factors). Per-point (n,) noise falls
+        # back to plain CG (the eigenbasis preconditioner assumes
+        # P = noise I + U diag(lam) U^T).
         mv_raw = lambda v: kernel_matvec(k, x, v, block=block)
         solver = make_whitened_solver(
             mv_raw, jnp.asarray(x).shape[0], noise, precond_rank,
@@ -335,10 +337,11 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
     if xn.ndim == 1:
         xn = xn[:, None]
     m = xn.shape[0]
-    if precond_rank and precond_rank > 0:
+    y_dtype = jnp.asarray(y).dtype
+    if precond_rank and precond_rank > 0 and jnp.ndim(noise) == 0:
         mv_raw = lambda v: kernel_matvec(k, x_arr, v, block=block)
         solver = make_whitened_solver(
-            mv_raw, x_arr.shape[0], noise, precond_rank, dtype=x_arr.dtype
+            mv_raw, x_arr.shape[0], noise, precond_rank, dtype=y_dtype
         )
     else:
         mv = lambda v: kernel_matvec(k, x_arr, v, noise=noise, block=block)

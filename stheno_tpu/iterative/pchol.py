@@ -11,6 +11,7 @@ from jax import lax
 
 from ..kernels import elwise, pairwise
 from ..matrix import dense
+from .cg import batched_cg
 from .. import config
 
 __all__ = [
@@ -213,13 +214,17 @@ def make_whitened_solver(
 
     Requires scalar ``noise`` (the eigenbasis ops assume ``P = noise I +
     U diag(lam) U^T``)."""
-    import jax as _jax
-
+    if jnp.ndim(noise) != 0:
+        raise ValueError(
+            "make_whitened_solver requires scalar noise; use an "
+            "unpreconditioned CG solve (precond_rank=0) for per-point "
+            "noise."
+        )
     if key is None:
-        key = _jax.random.PRNGKey(0)
+        key = jax.random.PRNGKey(0)
     if dtype is None:
         dtype = jnp.asarray(noise).dtype
-    om = _jax.random.normal(key, (n, min(rank, n)), dtype)
+    om = jax.random.normal(key, (n, min(rank, n)), dtype)
     U, lam = eig_preconditioner_factors(mv_raw, om, power_iters)
     _, _, phi, _ = eig_preconditioner_ops(U, lam, noise, n)
     noise_arr = jnp.asarray(noise)
@@ -229,12 +234,13 @@ def make_whitened_solver(
             pv = phi(v)
             return phi(mv_raw(pv) + noise_arr * pv)
 
-        from .cg import batched_cg
-
         sol, info = batched_cg(
             mv_white, phi(jnp.asarray(rhs)), tol=tol, max_iters=max_iters,
             **cg_kwargs,
         )
         return phi(sol), info
 
-    return solve
+    # Pinned so a direct (library-external) caller in an unpinned context
+    # still gets exact-f32 whitening GEMMs (CLAUDE.md: every matmul-bearing
+    # public entry point).
+    return config.pin_matmul_precision(solve)

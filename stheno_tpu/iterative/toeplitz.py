@@ -34,7 +34,7 @@ from ..kernels import elwise
 from .. import config
 from .cg import batched_cg
 from .nlml import _nlml
-from .pchol import make_whitened_solver, pivoted_cholesky, woodbury_preconditioner
+from .pchol import make_whitened_solver
 
 __all__ = [
     "circulant_spectrum",
@@ -236,7 +236,7 @@ def grid_posterior_mean(
     x = grid_coords(axes)
     spectrum = circulant_spectrum(k, axes)
     y = jnp.asarray(y)
-    if precond_rank and precond_rank > 0:
+    if precond_rank and precond_rank > 0 and jnp.ndim(noise) == 0:
         mv_raw = lambda v: grid_matvec(k, axes, v, spectrum=spectrum)
         solver = make_whitened_solver(
             mv_raw, x.shape[0], noise, precond_rank, dtype=y.dtype
@@ -282,10 +282,11 @@ def grid_posterior_var(
     _check_stationary(k)
     x = grid_coords(axes)
     spectrum = circulant_spectrum(k, axes)
-    if precond_rank and precond_rank > 0:
+    if precond_rank and precond_rank > 0 and jnp.ndim(noise) == 0:
         mv_raw = lambda v: grid_matvec(k, axes, v, spectrum=spectrum)
         solver = make_whitened_solver(
-            mv_raw, x.shape[0], noise, precond_rank, dtype=x.dtype
+            mv_raw, x.shape[0], noise, precond_rank,
+            dtype=jnp.asarray(y).dtype,
         )
     else:
         mv = lambda v: grid_matvec(k, axes, v, noise=noise, spectrum=spectrum)

@@ -107,6 +107,11 @@ def gram_matvec(kind, x, y, v, alpha=1.0, *, interpret=False):
     Returns:
         ``(n, p)`` float32.
     """
+    if not _HAS_PALLAS:
+        raise RuntimeError(
+            "Pallas is unavailable in this jax install; use the XLA scan "
+            "sweep (iterative.kernel_matvec) instead."
+        )
     n, d = x.shape
     m = y.shape[0]
     p = v.shape[1]

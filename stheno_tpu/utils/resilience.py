@@ -101,8 +101,12 @@ def resumable_minimise(
 
     @jax.jit
     def apply(params, opt_state, grads, scale):
-        scaled = jax.tree.map(lambda g: g * scale, grads)
-        updates, opt_state = optimizer.update(scaled, opt_state, params)
+        # Scale the post-optimizer UPDATES, not the gradients: adaptive
+        # optimizers like Adam are (near-)invariant to gradient scaling
+        # (m_hat/sqrt(v_hat) cancels it), so halved-gradient retries would
+        # re-apply the identical step and never recover.
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * scale, updates)
         return optax.apply_updates(params, updates), opt_state
 
     history = []
@@ -131,7 +135,7 @@ def resumable_minimise(
                     f"{max_retries} halved-step retries at step {step}."
                 )
             # Roll back: redo the last update from the last validated
-            # state with halved gradients.
+            # state at halved update scale.
             rejected += 1
             retries += 1
             scale *= 0.5

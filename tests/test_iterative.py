@@ -408,3 +408,25 @@ def test_iterative_nlml_eig_vs_pivoted_parity():
         np.testing.assert_allclose(
             np.asarray(g_eig[kk]), np.asarray(g_piv[kk]), rtol=0.3, atol=0.05
         )
+
+
+def test_posterior_mean_vector_noise_falls_back():
+    """Per-point (n,) noise is advertised by kernel_matvec; the whitened
+    preconditioner requires scalar noise, so the posterior paths must fall
+    back to plain CG rather than crash."""
+    from stheno_tpu.iterative import iterative_posterior_mean
+
+    x, y = _setup(120)
+    noise_vec = jnp.full((120,), 0.1)
+    kernel_fn = lambda p: EQ().stretch(0.8)
+    mean, info = iterative_posterior_mean(
+        kernel_fn, None, x, y, noise_vec, jnp.linspace(0, 10, 15),
+        cg_tol=1e-8, block=64, precond_rank=40,
+    )
+    mean_s, _ = iterative_posterior_mean(
+        kernel_fn, None, x, y, 0.1, jnp.linspace(0, 10, 15),
+        cg_tol=1e-8, block=64, precond_rank=40,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(mean_s), rtol=1e-6, atol=1e-8
+    )

@@ -65,3 +65,23 @@ def test_raises_on_bad_init(tmp_path):
         resumable_minimise(
             obj, {"x": jnp.asarray(0.0)}, steps=2, checkpoint_path=path
         )
+
+
+def test_rollback_recovers_under_adam(tmp_path):
+    # Adam's update is invariant to gradient scaling (m_hat/sqrt(v_hat)),
+    # so rollback must halve the post-optimizer UPDATE; halved gradients
+    # would re-apply the identical diverging step forever. Objective:
+    # quadratic bowl at 0.5 with NaN outside |x - 0.5| < 1 — an oversized
+    # Adam step (~lr) overshoots the bowl into the NaN region and must be
+    # halved back inside the domain.
+    path = str(tmp_path / "ckpt.npz")
+    obj = lambda p: (p["x"] - 0.5) ** 2 + 1e-6 * jnp.sqrt(
+        1.0 - (p["x"] - 0.5) ** 2
+    )
+    params, info = resumable_minimise(
+        obj, {"x": jnp.asarray(1.4)}, steps=3, checkpoint_path=path,
+        optimizer=optax.adam(2.5), max_retries=6,
+    )
+    assert info["rejected_steps"] > 0
+    assert bool(jnp.isfinite(obj(params)))
+    assert abs(float(params["x"]) - 0.5) < 1.0
