@@ -286,9 +286,29 @@ class Normal(RandomVector):
         """Marginalise out rows where ``mask`` is False without changing any
         shape: zero the masked rows/columns of the covariance, put ones on
         their diagonal (so they contribute ``log 1 = 0`` to the logdet and
-        nothing to the quadratic form), and zero the masked residuals."""
+        nothing to the quadratic form), and zero the masked residuals.
+
+        Structure is preserved wherever a closed form exists, so masking
+        never forces an O(N^2) densification for the structured variances:
+        Diagonal stays O(N); Woodbury (e.g. Bayesian linear regression
+        with noise) and degenerate LowRank stay O(N r^2); a Kronecker
+        variance with a *factorised* mask — ``mask=(mask_left,
+        mask_right)``, i.e. grid missingness by rows/columns — stays at
+        Kronecker cost. A Kronecker variance under an arbitrary
+        (non-factorised) mask has no structured closed form (the observed
+        submatrix of a Kronecker product is unstructured) and falls to the
+        dense path below."""
         var = self.var
         dtype = x.dtype
+        if isinstance(mask, tuple):
+            from ..matrix import Kronecker
+
+            if isinstance(var, Kronecker) and len(mask) == 2:
+                return self._masked_logpdf_kron(x, mask[0], mask[1])
+            m_full = jnp.asarray(mask[0])
+            for part in mask[1:]:
+                m_full = jnp.kron(m_full, jnp.asarray(part))
+            mask = m_full
         m = jnp.asarray(mask).astype(dtype)
         mean = self.mean
         mean = jnp.asarray(dense(mean)) if is_structured(mean) else jnp.asarray(mean)
@@ -308,6 +328,22 @@ class Normal(RandomVector):
                 Diagonal(m * var.diag.diag + (1.0 - m)),
                 LowRank(left, right, middle=lr.middle),
             )
+        elif isinstance(var, LowRank):
+            # Degenerate (rank-r) variance, e.g. a noiseless Bayesian-
+            # linear-regression FDD. The dense path below would factorise
+            # ``masked + eps I`` (the jitter makes the singular matrix
+            # factorable); fold the same eps into a Woodbury diagonal
+            # instead, so logdet/iqf keep the O(N r^2) closed forms on the
+            # *identical* regularised matrix.
+            from .. import config
+
+            eps = jnp.asarray(config.jitter(dtype), dtype)
+            left = m[..., :, None] * var.left
+            right = None if var.right is None else m[..., :, None] * var.right
+            masked = Woodbury(
+                Diagonal(eps * m + (1.0 - m)),
+                LowRank(left, right, middle=var.middle),
+            )
         else:
             K = jnp.asarray(dense(var))
             masked = as_matrix(
@@ -318,6 +354,46 @@ class Normal(RandomVector):
             logdet(masked)[..., None]
             + n_obs * _LOG_2_PI
             + iqf_diag(masked, resid)
+        )
+        return logpdfs[..., 0] if logpdfs.shape[-1] == 1 else logpdfs
+
+    def _masked_logpdf_kron(self, x, mask_a, mask_b):
+        """Masked logpdf for a Kronecker variance ``A (x) B`` under a
+        factorised mask ``kron(mask_a, mask_b)`` (grid missingness: whole
+        rows/columns of the grid observed or missing).
+
+        The observed submatrix is then itself a Kronecker product
+        ``A_obs (x) B_obs``, so everything stays at Kronecker cost: mask
+        each *factor* with the ones-on-diagonal trick (the masked factor is
+        block-diagonal ``[A_obs, I]``, so its Kronecker inverse restricted
+        to observed rows is exactly ``(A_obs (x) B_obs)^{-1}``), take the
+        logdet per factor weighted by the *observed* counts
+        (``logdet(A_obs (x) B_obs) = n_b_obs logdet(A_obs) +
+        n_a_obs logdet(B_obs)`` — NOT the full-size Kronecker logdet), and
+        run the quadratic form through the structured Kronecker solve."""
+        from ..matrix import Kronecker
+
+        var = self.var
+        dtype = x.dtype
+        ma = jnp.asarray(mask_a).astype(dtype)
+        mb = jnp.asarray(mask_b).astype(dtype)
+        m = jnp.kron(ma, mb)
+        mean = self.mean
+        mean = jnp.asarray(dense(mean)) if is_structured(mean) else jnp.asarray(mean)
+        resid = m[:, None] * jnp.nan_to_num(x - mean)
+
+        A = jnp.asarray(dense(var.left))
+        B = jnp.asarray(dense(var.right))
+        mA = as_matrix(ma[:, None] * ma[None, :] * A + jnp.diag(1.0 - ma))
+        mB = as_matrix(mb[:, None] * mb[None, :] * B + jnp.diag(1.0 - mb))
+        na_obs = jnp.sum(ma)
+        nb_obs = jnp.sum(mb)
+        ld = nb_obs * logdet(mA) + na_obs * logdet(mB)
+        n_obs = na_obs * nb_obs
+        logpdfs = -0.5 * (
+            ld[..., None]
+            + n_obs * _LOG_2_PI
+            + iqf_diag(Kronecker(mA, mB), resid)
         )
         return logpdfs[..., 0] if logpdfs.shape[-1] == 1 else logpdfs
 

@@ -1,6 +1,7 @@
 from .cg import batched_cg
 from .matvec import kernel_matvec
 from .nlml import (
+    eig_precond_state,
     iterative_nlml,
     iterative_posterior_mean,
     iterative_posterior_var,
@@ -32,6 +33,7 @@ __all__ = [
     "batched_cg",
     "kernel_matvec",
     "iterative_nlml",
+    "eig_precond_state",
     "iterative_posterior_mean",
     "iterative_posterior_var",
     "pivoted_cholesky",

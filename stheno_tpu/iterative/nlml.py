@@ -41,9 +41,55 @@ __all__ = [
     "iterative_nlml",
     "iterative_posterior_mean",
     "iterative_posterior_var",
+    "eig_precond_state",
 ]
 
 _LOG_2_PI = math.log(2 * math.pi)
+
+
+@config.pin_matmul_precision
+def eig_precond_state(
+    kernel_fn, params, x, rank, key=None, *, power_iters=1, block=4096,
+    init=None, dtype=None,
+):
+    """Build the eig-preconditioner state ``(U, lam)`` for reuse across
+    optimiser steps (``iterative_nlml(..., precond_state=...)``).
+
+    The split-preconditioned identities hold for ANY SPD preconditioner, so
+    a *stale* state (built at earlier hyperparameters) stays mathematically
+    exact — staleness only costs CG iterations, never correctness. Building
+    this once and refreshing every k steps (or on large hyperparameter
+    moves) removes the per-step subspace-iteration sweep (~25% of the
+    N=262,144 step; VERDICT r2 #2).
+
+    Args:
+        kernel_fn: ``params -> Kernel`` expression builder.
+        params: parameter pytree (typically ``stop_gradient``-ed upstream;
+            the state is treated as a constant by the NLML VJP regardless).
+        x: inputs ``(n, d)`` or ``(n,)``.
+        rank: preconditioner rank (subspace width).
+        key: PRNG key for the start block (ignored when ``init`` given).
+        init: optional ``(n, rank)`` warm-start block — pass the previous
+            state's ``U`` to refresh with one power sweep from the old
+            basis instead of a fresh Gaussian.
+        dtype: probe dtype (default: dtype of ``x``).
+
+    Returns:
+        ``(U, lam)`` with orthonormal ``U (n, rank)``.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    if dtype is None:
+        dtype = x.dtype
+    k = kernel_fn(jax.tree.map(jax.lax.stop_gradient, params))
+    mv = lambda v: kernel_matvec(k, x, v, block=block)
+    if init is not None:
+        om = jax.lax.stop_gradient(init)
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        om = jax.random.normal(key, (n, min(rank, n)), dtype)
+    return eig_preconditioner_factors(mv, om, power_iters)
 
 
 @config.pin_matmul_precision
@@ -62,7 +108,10 @@ def iterative_nlml(
     precond_rank=64,
     precond_method="eig",
     precond_power_iters=1,
+    precond_state=None,
+    surrogate_tile_dtype=None,
     block=4096,
+    return_info=False,
 ):
     """Stochastic estimate of the exact-GP NLML, differentiable w.r.t.
     ``params``, ``noise``, ``y`` (and ``x``).
@@ -75,10 +124,26 @@ def iterative_nlml(
     measured to stall CG at the N=262,144 f32 scale (see
     ``pchol.eig_preconditioner_factors``).
 
-    Note: Gram tiles stay in the input dtype. bf16 tiles
-    (``kernel_matvec(tile_dtype=...)``) are measurably unsafe *inside this
-    CG/SLQ pipeline* — rounding breaks operator symmetry enough to destroy
-    CG convergence — so they are deliberately not plumbed through here.
+    ``precond_state``: optional prebuilt ``(U, lam)`` from
+    :func:`eig_precond_state` — skips the per-step subspace-iteration
+    build (the amortised-training path). Valid (exact, just possibly
+    slower-converging) even when built at stale hyperparameters.
+
+    ``surrogate_tile_dtype``: optional storage dtype (e.g.
+    ``jnp.bfloat16``) for the Gram tiles of the BACKWARD surrogate sweep
+    only. The backward pass is already a stochastic estimator whose probe
+    variance dominates tile rounding (measured; see docs/scaling.md), so
+    bf16 tiles are a near-2x backward speedup at unchanged gradient
+    quality. The CG/logdet *forward* always stays in the input dtype —
+    bf16 tiles there are measurably unsafe (rounding breaks operator
+    symmetry enough to destroy CG convergence and bias the logdet).
+
+    ``return_info=True`` additionally returns solver-health diagnostics
+    ``{"cg_iters", "cg_rel_residual", "cg_converged"}`` from the forward
+    solve — wire these into ``StepMetrics`` in training loops. A stalled
+    CG (round 1's silent failure mode: residual hovering at tol with wrong
+    gradients) also triggers a loud ``jax.debug.print`` warning regardless
+    of ``return_info``.
 
     Args:
         kernel_fn: ``params -> Kernel`` expression builder.
@@ -94,41 +159,57 @@ def iterative_nlml(
     k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
     u = jax.random.normal(k1, (n, num_probes), dtype=y.dtype)
     om = None
-    if precond_method == "eig" and precond_rank and precond_rank > 0:
+    if (
+        precond_state is None
+        and precond_method == "eig"
+        and precond_rank
+        and precond_rank > 0
+    ):
         om = jax.random.normal(
             k2, (n, min(precond_rank, n)), dtype=y.dtype
         )
     matvec_fn = lambda k, xx, v, nz: kernel_matvec(k, xx, v, noise=nz, block=block)
-    return _nlml(
-        params, y, jnp.asarray(noise), x, u, om, kernel_fn, matvec_fn,
-        None, cg_tol, max_cg_iters, slq_steps, precond_rank,
-        precond_method, precond_power_iters,
+    surrogate_grad_fn = None
+    if surrogate_tile_dtype is not None:
+        smv = lambda k, xx, v, nz: kernel_matvec(
+            k, xx, v, noise=nz, block=block, tile_dtype=surrogate_tile_dtype
+        )
+        surrogate_grad_fn = make_surrogate_grad(kernel_fn, smv)
+    val, info = _nlml(
+        params, y, jnp.asarray(noise), x, u, om, precond_state, kernel_fn,
+        matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
+        precond_rank, precond_method, precond_power_iters,
     )
+    return (val, info) if return_info else val
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
-def _nlml(params, y, noise, x, u, om, kernel_fn, matvec_fn,
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+def _nlml(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
           surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps, precond_rank,
           precond_method="pivoted", precond_power_iters=1):
-    """Shared stochastic-NLML core.
+    """Shared stochastic-NLML core. Returns ``(nlml, info)`` with ``info``
+    the forward-solve health dict (zero-cotangent under the VJP).
 
     ``u`` are standard-normal probes; the forward draws ``z = P^{1/2} u``
     and solves ``K^{-1}[y, z]`` in one preconditioned CG whose coefficients
     also yield the logdet quadrature (mBCG). ``matvec_fn(k, x, v, noise)``
     supplies the Gram matvec for the forward solves (single-chip blocked or
-    mesh-sharded; it is never differentiated).
+    mesh-sharded; it is never differentiated). ``pstate`` is an optional
+    prebuilt eig-preconditioner ``(U, lam)`` (treated as a constant).
     ``surrogate_grad_fn(params, noise, x, U, w, alpha) -> (p_bar, noise_bar,
     x_bar)`` supplies the backward-pass surrogate gradient with
     ``w = P^{-1} z``; ``None`` selects the single-chip default (``jax.grad``
     through ``matvec_fn`` of the fused ``[w, alpha]`` sweep)."""
-    val, _ = _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
-                       surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
-                       precond_rank, precond_method, precond_power_iters)
-    return val
+    (val, info), _ = _nlml_fwd(
+        params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
+        surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
+        precond_rank, precond_method, precond_power_iters,
+    )
+    return val, info
 
 
 @config.pin_matmul_precision
-def _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
+def _nlml_fwd(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
               surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
               precond_rank, precond_method, precond_power_iters):
     n = x.shape[0]
@@ -140,7 +221,7 @@ def _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
 
     mv = lambda v: matvec_fn(k, x_sg, v, noise_sg)
 
-    use_eig = (
+    use_eig = pstate is not None or (
         precond_method == "eig" and bool(precond_rank) and precond_rank > 0
     )
     if use_eig:
@@ -160,10 +241,13 @@ def _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
         #      logdet P + tr log At) with the whitening-collapsed variance.
         # P^{+-1/2} are diagonal in the eigenbasis of the subspace-iteration
         # preconditioner — two (n, r) GEMMs each, exact and symmetric.
-        mv_raw = lambda v: matvec_fn(k, x_sg, v, None)
-        Ue, lam = eig_preconditioner_factors(
-            mv_raw, jax.lax.stop_gradient(om), precond_power_iters
-        )
+        if pstate is not None:
+            Ue, lam = jax.lax.stop_gradient(pstate)
+        else:
+            mv_raw = lambda v: matvec_fn(k, x_sg, v, None)
+            Ue, lam = eig_preconditioner_factors(
+                mv_raw, jax.lax.stop_gradient(om), precond_power_iters
+            )
         _, apply_half, apply_half_inv, logdet_p = eig_preconditioner_ops(
             Ue, lam, noise_sg, n
         )
@@ -215,15 +299,41 @@ def _nlml_fwd(params, y, noise, x, u, om, kernel_fn, matvec_fn,
     )
     quad = jnp.sum(y_sg * alpha)
     nlml = 0.5 * (logdet + quad + n * _LOG_2_PI)
-    residuals = (params, noise, x, alpha, U, w, om)
-    return nlml, residuals
+
+    # Solver health: round 1's failure mode was CG silently hovering at tol
+    # with ~3x-wrong gradients. Surface the forward solve's iteration count
+    # and residual to the caller, and warn LOUDLY on a stall — a training
+    # loop must not be able to miss it.
+    rel = info["rel_residual"]
+    iters = info["iters"]
+    converged = rel <= cg_tol
+    jax.lax.cond(
+        converged,
+        lambda: None,
+        lambda: jax.debug.print(
+            "stheno_tpu.iterative: CG STALLED — rel residual {r:.3e} > tol "
+            "{t:.1e} after {i} iterations; the NLML value and its gradients "
+            "are unreliable (see docs/scaling.md on the f32 residual "
+            "floor). Raise max_cg_iters, the preconditioner rank, or the "
+            "noise floor.",
+            r=rel, t=cg_tol, i=iters,
+        ),
+    )
+    health = {
+        "cg_iters": iters,
+        "cg_rel_residual": rel,
+        "cg_converged": converged,
+    }
+    residuals = (params, noise, x, alpha, U, w, om, pstate)
+    return (nlml, health), residuals
 
 
 @config.pin_matmul_precision
 def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
               quad_steps, precond_rank, precond_method, precond_power_iters,
               residuals, g):
-    params, noise, x, alpha, U, w, om = residuals
+    params, noise, x, alpha, U, w, om, pstate = residuals
+    g = g[0]  # Cotangent of the NLML value; the health dict gets none.
     alpha = jax.lax.stop_gradient(alpha)
     U = jax.lax.stop_gradient(U)
     w = jax.lax.stop_gradient(w)
@@ -235,7 +345,8 @@ def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
     p_bar = jax.tree.map(lambda t: t * g, p_bar)
     y_bar = g * alpha
     om_bar = None if om is None else jnp.zeros_like(om)
-    return p_bar, y_bar, noise_bar * g, x_bar * g, jnp.zeros_like(w), om_bar
+    ps_bar = None if pstate is None else jax.tree.map(jnp.zeros_like, pstate)
+    return p_bar, y_bar, noise_bar * g, x_bar * g, jnp.zeros_like(w), om_bar, ps_bar
 
 
 def make_surrogate_grad(kernel_fn, matvec_fn):
@@ -268,12 +379,19 @@ _nlml.defvjp(_nlml_fwd, _nlml_bwd)
 @config.pin_matmul_precision
 def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
                              cg_tol=1e-6, max_cg_iters=1000,
-                             precond_rank=64, block=4096):
+                             precond_rank=64, precond_state=None, block=4096):
     """Matrix-free posterior mean at ``x_new``: solve ``K alpha = y`` by
-    preconditioned CG, then one blocked cross-Gram matvec."""
+    preconditioned CG, then one blocked cross-Gram matvec.
+
+    ``precond_state``: optional prebuilt ``(U, lam)`` from
+    :func:`eig_precond_state` — shares the preconditioner with other
+    posterior calls / the training loop instead of rebuilding it here."""
     k = kernel_fn(params)
     y = jnp.asarray(y)
-    if precond_rank and precond_rank > 0 and jnp.ndim(noise) == 0:
+    if (
+        precond_state is not None
+        or (precond_rank and precond_rank > 0)
+    ) and jnp.ndim(noise) == 0:
         # Whitened solve: the un-whitened PCG floor stalls in f32 at large
         # N (see eig_preconditioner_factors). Per-point (n,) noise falls
         # back to plain CG (the eigenbasis preconditioner assumes
@@ -281,7 +399,7 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
         mv_raw = lambda v: kernel_matvec(k, x, v, block=block)
         solver = make_whitened_solver(
             mv_raw, jnp.asarray(x).shape[0], noise, precond_rank,
-            dtype=y.dtype,
+            dtype=y.dtype, state=precond_state,
         )
         alpha, info = solver(y, tol=cg_tol, max_iters=max_cg_iters)
     else:
@@ -316,7 +434,8 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
 @config.pin_matmul_precision
 def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
                             cg_tol=1e-6, max_cg_iters=1000,
-                            precond_rank=64, block=4096, chunk=512):
+                            precond_rank=64, precond_state=None, block=4096,
+                            chunk=512, mode="scan"):
     """Matrix-free posterior variance diagonal at ``x_new``:
     ``var_i = k(x*_i, x*_i) - k_*i^T (K + noise I)^{-1} k_*i``.
 
@@ -326,6 +445,23 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
     nearly free) and peak memory stays O(N * chunk). Complements
     :func:`iterative_posterior_mean` — together they give exact-GP
     predictions at N far beyond the dense-Cholesky path.
+
+    ``mode``: how the chunks are sequenced.
+
+    - ``"scan"``: one fused program (``lax.map`` over chunks) — jittable
+      end-to-end, the right choice inside a larger jitted computation.
+    - ``"host"``: ONE per-chunk program jitted once and dispatched from a
+      host-side Python loop (the whitened solver is still built once and
+      shared). Same math, same compile count, but each dispatch is a small
+      bounded program. This is the extreme-N path: on the remote v5e
+      toolchain the fused ``lax.map`` program FAULTS the device at
+      N=262,144 ("UNAVAILABLE: TPU device error" — a toolchain fault, not
+      an OOM; CLAUDE.md known-fault note), while the host loop of the
+      identical per-chunk program runs fine. Not usable under an outer
+      ``jax.jit``.
+
+    ``precond_state``: optional prebuilt ``(U, lam)`` shared with the
+    training loop / posterior-mean call.
     """
     from ..kernels import elwise as k_elwise
 
@@ -338,10 +474,14 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
         xn = xn[:, None]
     m = xn.shape[0]
     y_dtype = jnp.asarray(y).dtype
-    if precond_rank and precond_rank > 0 and jnp.ndim(noise) == 0:
+    if (
+        precond_state is not None
+        or (precond_rank and precond_rank > 0)
+    ) and jnp.ndim(noise) == 0:
         mv_raw = lambda v: kernel_matvec(k, x_arr, v, block=block)
         solver = make_whitened_solver(
-            mv_raw, x_arr.shape[0], noise, precond_rank, dtype=y_dtype
+            mv_raw, x_arr.shape[0], noise, precond_rank, dtype=y_dtype,
+            state=precond_state,
         )
     else:
         mv = lambda v: kernel_matvec(k, x_arr, v, noise=noise, block=block)
@@ -362,8 +502,15 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
         sol, _ = solver(K_xc, tol=cg_tol, max_iters=max_cg_iters)
         return jnp.sum(K_xc * sol, axis=0)  # (chunk,)
 
-    reductions = jax.lax.map(
-        one_chunk, xn_pad.reshape(nchunks, chunk, xn.shape[1])
-    ).reshape(m_pad)[:m]
+    chunks = xn_pad.reshape(nchunks, chunk, xn.shape[1])
+    if mode == "host":
+        chunk_fn = jax.jit(one_chunk)  # One compile; nchunks dispatches.
+        reductions = jnp.concatenate(
+            [chunk_fn(chunks[i]) for i in range(nchunks)]
+        )[:m]
+    elif mode == "scan":
+        reductions = jax.lax.map(one_chunk, chunks).reshape(m_pad)[:m]
+    else:
+        raise ValueError(f"Unknown mode {mode!r}; use 'scan' or 'host'.")
     prior = jnp.asarray(mat_dense(k_elwise(k, xn)))[:, 0]
     return jnp.maximum(prior - reductions, 0.0)

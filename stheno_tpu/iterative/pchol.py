@@ -199,7 +199,8 @@ def woodbury_preconditioner(L, noise):
 
 @config.pin_matmul_precision
 def make_whitened_solver(
-    mv_raw, n, noise, rank, key=None, *, power_iters=1, dtype=None
+    mv_raw, n, noise, rank, key=None, *, power_iters=1, dtype=None,
+    state=None,
 ):
     """Factory for split-preconditioned CG solves of ``(K + noise I) X = B``
     — the f32-at-scale solve path shared by every matrix-free posterior
@@ -211,6 +212,20 @@ def make_whitened_solver(
     posterior-variance path reuses it across all chunks. ``key`` seeds the
     subspace probes; the default fixed key is sound because the
     preconditioner only affects convergence speed, never the solution.
+    ``state``: optional prebuilt ``(U, lam)`` (e.g. from
+    ``nlml.eig_precond_state``) — skips the subspace-iteration build here
+    entirely; ``rank``/``key``/``power_iters`` are then ignored.
+
+    Tolerance semantics: ``tol`` is the relative residual of the WHITENED
+    system ``P^{-1/2}(K + noise I)P^{-1/2} X' = P^{-1/2} B`` — the system
+    CG actually recurses on. The un-whitened relative residual can be up to
+    ~sqrt(kappa(P)) looser (a few hundred at the documented
+    lambda_max/noise ~ 6.5e5 conditioning), though in practice the whitened
+    path lands orders of magnitude below what un-whitened f32 CG could
+    reach at all (its floor sits AT ~1e-2 at this scale). Callers that need
+    the un-whitened number pass ``true_residual=True`` to the returned
+    ``solve`` and read ``info["rel_residual_true"]`` (costs one extra
+    matvec).
 
     Requires scalar ``noise`` (the eigenbasis ops assume ``P = noise I +
     U diag(lam) U^T``)."""
@@ -220,25 +235,39 @@ def make_whitened_solver(
             "unpreconditioned CG solve (precond_rank=0) for per-point "
             "noise."
         )
-    if key is None:
-        key = jax.random.PRNGKey(0)
     if dtype is None:
         dtype = jnp.asarray(noise).dtype
-    om = jax.random.normal(key, (n, min(rank, n)), dtype)
-    U, lam = eig_preconditioner_factors(mv_raw, om, power_iters)
+    if state is not None:
+        U, lam = state
+    else:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        om = jax.random.normal(key, (n, min(rank, n)), dtype)
+        U, lam = eig_preconditioner_factors(mv_raw, om, power_iters)
     _, _, phi, _ = eig_preconditioner_ops(U, lam, noise, n)
     noise_arr = jnp.asarray(noise)
 
-    def solve(rhs, *, tol=1e-6, max_iters=1000, **cg_kwargs):
+    def solve(rhs, *, tol=1e-6, max_iters=1000, true_residual=False,
+              **cg_kwargs):
         def mv_white(v):
             pv = phi(v)
             return phi(mv_raw(pv) + noise_arr * pv)
 
+        rhs = jnp.asarray(rhs)
         sol, info = batched_cg(
-            mv_white, phi(jnp.asarray(rhs)), tol=tol, max_iters=max_iters,
+            mv_white, phi(rhs), tol=tol, max_iters=max_iters,
             **cg_kwargs,
         )
-        return phi(sol), info
+        sol = phi(sol)
+        if true_residual:
+            r = rhs - (mv_raw(sol) + noise_arr * sol)
+            info["rel_residual_true"] = jnp.max(
+                jnp.linalg.norm(jnp.atleast_2d(r.T).T, axis=0)
+                / jnp.maximum(
+                    jnp.linalg.norm(jnp.atleast_2d(rhs.T).T, axis=0), 1e-30
+                )
+            )
+        return sol, info
 
     # Pinned so a direct (library-external) caller in an unpinned context
     # still gets exact-f32 whitening GEMMs (CLAUDE.md: every matmul-bearing

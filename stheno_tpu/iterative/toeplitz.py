@@ -204,11 +204,12 @@ def grid_iterative_nlml(
     def matvec_fn(k, xx, v, nz):
         return grid_matvec(k, _axes_from_coords(xx, shape), v, noise=nz)
 
-    return _nlml(
-        params, y, jnp.asarray(noise), x, u, om, kernel_fn, matvec_fn,
+    val, _ = _nlml(
+        params, y, jnp.asarray(noise), x, u, om, None, kernel_fn, matvec_fn,
         None, cg_tol, max_cg_iters, slq_steps, precond_rank,
         precond_method, precond_power_iters,
     )
+    return val
 
 
 @config.pin_matmul_precision

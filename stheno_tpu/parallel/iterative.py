@@ -188,7 +188,9 @@ def sharded_iterative_nlml(
     precond_rank=64,
     precond_method="eig",
     precond_power_iters=1,
+    precond_state=None,
     block=4096,
+    return_info=False,
 ):
     """Exact-GP NLML estimate with every matvec distributed over the mesh.
 
@@ -196,7 +198,9 @@ def sharded_iterative_nlml(
     the multi-chip training objective. It reuses the single-chip stochastic
     custom VJP (`iterative/nlml.py`) with the forward Gram matvec swapped
     for the row-sharded one and the backward surrogate gradient computed
-    grad-inside-shard_map (see :func:`make_sharded_surrogate_grad`)."""
+    grad-inside-shard_map (see :func:`make_sharded_surrogate_grad`).
+    ``precond_state``/``return_info`` behave as in ``iterative_nlml``
+    (amortised preconditioner reuse; CG solver-health surfacing)."""
     from ..iterative.nlml import _nlml
 
     x = jnp.asarray(x)
@@ -205,7 +209,12 @@ def sharded_iterative_nlml(
     k1, k2 = jax.random.split(jax.lax.stop_gradient(key))
     u = jax.random.normal(k1, (n, num_probes), y.dtype)
     om = None
-    if precond_method == "eig" and precond_rank and precond_rank > 0:
+    if (
+        precond_state is None
+        and precond_method == "eig"
+        and precond_rank
+        and precond_rank > 0
+    ):
         # The eig factory only touches the operator through matvec_fn, so
         # the preconditioner build distributes over the mesh for free.
         om = jax.random.normal(k2, (n, min(precond_rank, n)), y.dtype)
@@ -215,8 +224,9 @@ def sharded_iterative_nlml(
     surrogate_grad_fn = make_sharded_surrogate_grad(
         kernel_fn, mesh, axis=axis, block=block
     )
-    return _nlml(
-        params, y, jnp.asarray(noise), x, u, om, kernel_fn, matvec_fn,
-        surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps, precond_rank,
-        precond_method, precond_power_iters,
+    val, info = _nlml(
+        params, y, jnp.asarray(noise), x, u, om, precond_state, kernel_fn,
+        matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
+        precond_rank, precond_method, precond_power_iters,
     )
+    return (val, info) if return_info else val

@@ -33,17 +33,32 @@ def save_pytree(path, tree):
 
 def load_pytree(path, like):
     """Load arrays saved by :func:`save_pytree` into the structure of
-    ``like`` (the reference pytree providing the treedef)."""
+    ``like`` (the reference pytree providing the treedef).
+
+    The stored treedef string is the structure fingerprint: loading into a
+    template with a *different* structure — even one whose leaf count
+    happens to match (e.g. a different optax chain) — raises instead of
+    silently unflattening leaves into the wrong slots."""
     with np.load(path) as data:
         leaves = [
             jnp.asarray(data[f"leaf_{i}"])
             for i in range(len([k for k in data.files if k.startswith("leaf_")]))
         ]
+        stored_treedef = None
+        if "__treedef__" in data.files:
+            stored_treedef = json.loads(bytes(data["__treedef__"]).decode())
     _, treedef = jax.tree.flatten(like)
     if treedef.num_leaves != len(leaves):
         raise ValueError(
             f"Checkpoint has {len(leaves)} leaves; template has "
             f"{treedef.num_leaves}."
+        )
+    if stored_treedef is not None and stored_treedef != str(treedef):
+        raise ValueError(
+            "Checkpoint pytree structure does not match the template "
+            "(same leaf count, different treedef — e.g. a different "
+            f"optimizer/state layout).\n  stored:   {stored_treedef}\n"
+            f"  template: {treedef}"
         )
     return treedef.unflatten(leaves)
 

@@ -369,3 +369,108 @@ def test_masked_logpdf_woodbury_large_n_fast():
     x = jnp.asarray(r.randn(n, 1))
     val = dist.logpdf(x, mask=mask)
     assert np.isfinite(float(val))
+
+
+def test_masked_logpdf_lowrank_structured():
+    """A degenerate (pure LowRank) variance keeps O(N r^2) under masking:
+    the structured path computes the same eps-regularised logpdf as the
+    dense fallback, without ever factorising N x N."""
+    r = np.random.RandomState(5)
+    n, rank = 40, 6
+    left = jnp.asarray(r.randn(n, rank))
+    mid = r.randn(rank, rank)
+    middle = jnp.asarray(mid @ mid.T + np.eye(rank))
+    var_lr = M.LowRank(left, middle=middle)
+    mean = jnp.asarray(r.randn(n, 1))
+    mask = jnp.asarray(r.rand(n) < 0.1)  # n_obs < rank: in the range space.
+    x = jnp.asarray(r.randn(n, 1))
+
+    dist_lr = Normal(mean, var_lr)
+    dist_dense = Normal(mean, M.Dense(jnp.asarray(M.dense(var_lr))))
+    got = dist_lr.logpdf(x, mask=mask)
+    ref = dist_dense.logpdf(x, mask=mask)
+    # Identical regularised matrix, different algorithm (Woodbury lemma vs
+    # dense Cholesky): agreement is limited by the 1/eps cancellation in
+    # the lemma (~1e12 * f64 round-off ~ 1e-4), far below the
+    # eps-regularisation effect itself.
+    approx(got, ref, rtol=5e-4, atol=5e-3)
+
+    # Structure guard: the masked LowRank logpdf program does orders of
+    # magnitude fewer FLOPs than the dense fallback's N^3 factorisation.
+    f_lr = (
+        jax.jit(lambda xx: dist_lr.logpdf(xx, mask=mask))
+        .lower(x).compile().cost_analysis()["flops"]
+    )
+    f_dn = (
+        jax.jit(lambda xx: dist_dense.logpdf(xx, mask=mask))
+        .lower(x).compile().cost_analysis()["flops"]
+    )
+    assert f_lr < 0.25 * f_dn, (f_lr, f_dn)
+
+
+def test_masked_logpdf_kron_factorised_mask():
+    """Kronecker variance + factorised (grid) mask stays structured and
+    matches both the dense masked path and scipy on the observed
+    submatrix."""
+    r = np.random.RandomState(6)
+    na, nb = 5, 7
+    a = r.randn(na, na)
+    b = r.randn(nb, nb)
+    A = jnp.asarray(a @ a.T + na * np.eye(na))
+    B = jnp.asarray(b @ b.T + nb * np.eye(nb))
+    var = M.Kronecker(M.Dense(A), M.Dense(B))
+    n = na * nb
+    mean = jnp.asarray(r.randn(n, 1))
+    ma = np.asarray([True, False, True, True, False])
+    mb = np.asarray([True, True, False, True, True, False, True])
+    m = np.kron(ma, mb)
+    x = jnp.asarray(r.randn(n, 1))
+
+    dist = Normal(mean, var)
+    got = dist.logpdf(x, mask=(jnp.asarray(ma), jnp.asarray(mb)))
+
+    # Dense reference on the same full mask.
+    dist_dense = Normal(mean, M.Dense(jnp.asarray(M.dense(var))))
+    ref = dist_dense.logpdf(x, mask=jnp.asarray(m))
+    approx(got, ref, rtol=1e-7)
+
+    # scipy ground truth on the observed submatrix.
+    Kd = np.asarray(M.dense(var))
+    obs = np.flatnonzero(m)
+    ref2 = multivariate_normal.logpdf(
+        np.asarray(x)[obs, 0],
+        np.asarray(mean)[obs, 0],
+        Kd[np.ix_(obs, obs)],
+    )
+    approx(got, ref2, rtol=1e-7)
+
+    # A non-factorised mask on a Kronecker variance still works (dense
+    # fallback — documented).
+    m_arb = jnp.asarray(r.rand(n) < 0.7)
+    got_arb = dist.logpdf(x, mask=m_arb)
+    ref_arb = dist_dense.logpdf(x, mask=m_arb)
+    approx(got_arb, ref_arb, rtol=1e-7)
+
+
+def test_masked_blr_50k_never_materialises_nxn():
+    """VERDICT r2 #7 'done' gate: a masked 50k-point BLR-style logpdf
+    (Woodbury variance: low-rank Linear Gram + noise) stays O(N r^2) —
+    cost analysis shows FLOPs and bytes far below anything N x N."""
+    n, rank = 50_000, 3
+    r = np.random.RandomState(7)
+    left = jnp.asarray(r.randn(n, rank))
+    var = M.Woodbury(
+        M.Diagonal(jnp.full((n,), 0.1)), M.LowRank(left)
+    )
+    mean = jnp.zeros((n, 1))
+    dist = Normal(mean, var)
+    mask = jnp.asarray(r.rand(n) < 0.9)
+    x = jnp.asarray(r.randn(n, 1))
+
+    compiled = jax.jit(lambda xx: dist.logpdf(xx, mask=mask)).lower(x).compile()
+    cost = compiled.cost_analysis()
+    # Dense would be >= n^3/3 ~ 4e13 FLOPs and n^2*8 = 2e10 bytes.
+    assert cost["flops"] < 1e9, cost["flops"]
+    bytes_accessed = cost.get("bytes accessed", 0.0)
+    assert bytes_accessed < 2e9, bytes_accessed
+    assert np.isfinite(float(np.asarray(compiled(x))))

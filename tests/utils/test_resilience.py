@@ -85,3 +85,48 @@ def test_rollback_recovers_under_adam(tmp_path):
     assert info["rejected_steps"] > 0
     assert bool(jnp.isfinite(obj(params)))
     assert abs(float(params["x"]) - 0.5) < 1.0
+
+
+def test_trace_aligns_with_steps_despite_rollback(tmp_path):
+    """objective_trace has exactly one entry per completed step (steps+1
+    including the initial evaluation) even when rollback retries occur,
+    and rollback_steps records which steps were rejected."""
+    from stheno_tpu.utils.resilience import resumable_minimise
+
+    calls = {"n": 0}
+
+    def objective(p):
+        calls["n"] += 1
+        # A bowl with a NaN wall: large params diverge.
+        return jnp.where(p["w"] ** 2 > 25.0, jnp.nan, 10.0 * (p["w"] - 3.0) ** 2)
+
+    import optax
+
+    params, info = resumable_minimise(
+        objective,
+        {"w": jnp.asarray(0.0)},  # First sgd step overshoots into the wall.
+        steps=8,
+        checkpoint_path=str(tmp_path / "ck.npz"),
+        optimizer=optax.sgd(0.4),
+        trace=True,
+    )
+    assert len(info["objective_trace"]) == 8 + 1
+    assert info["rejected_steps"] >= 1  # The overshoot was caught.
+    assert info["rollback_steps"] and all(
+        1 <= s <= 8 for s in info["rollback_steps"]
+    )
+
+
+def test_checkpoint_treedef_mismatch_raises(tmp_path):
+    """Restoring into a same-leaf-count but differently structured state
+    raises instead of silently scrambling leaves (ADVICE r2)."""
+    from stheno_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    path = str(tmp_path / "ck.npz")
+    save_pytree(path, {"a": jnp.asarray(1.0), "b": jnp.asarray(2.0)})
+    # Same leaf count, same structure: loads fine.
+    out = load_pytree(path, {"a": jnp.asarray(0.0), "b": jnp.asarray(0.0)})
+    assert float(out["a"]) == 1.0
+    # Same leaf count, different structure: loud error.
+    with pytest.raises(ValueError, match="structure"):
+        load_pytree(path, {"a": (jnp.asarray(0.0), jnp.asarray(0.0))})
