@@ -46,6 +46,24 @@ __all__ = [
 
 _LOG_2_PI = math.log(2 * math.pi)
 
+_DEBUG_CB_SUPPORTED = None
+
+
+def _debug_callbacks_supported():
+    """Whether the default backend supports host callbacks
+    (``jax.debug.print``). The remote-tunneled axon PJRT plugin does not
+    (``UNIMPLEMENTED: axon_pjrt does not support host send/recv
+    callbacks``), and a callback in ANY jitted program crashes there — so
+    the loud stall warning is emitted only where it can be."""
+    global _DEBUG_CB_SUPPORTED
+    if _DEBUG_CB_SUPPORTED is None:
+        try:
+            version = jax.devices()[0].client.platform_version
+        except Exception:
+            version = ""
+        _DEBUG_CB_SUPPORTED = "axon" not in version
+    return _DEBUG_CB_SUPPORTED
+
 
 @config.pin_matmul_precision
 def eig_precond_state(
@@ -303,22 +321,25 @@ def _nlml_fwd(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
     # Solver health: round 1's failure mode was CG silently hovering at tol
     # with ~3x-wrong gradients. Surface the forward solve's iteration count
     # and residual to the caller, and warn LOUDLY on a stall — a training
-    # loop must not be able to miss it.
+    # loop must not be able to miss it. (Skipped on backends without host
+    # callbacks, e.g. the remote-tunneled axon PJRT plugin — there the
+    # ``cg_converged`` flag in ``return_info`` is the guard.)
     rel = info["rel_residual"]
     iters = info["iters"]
     converged = rel <= cg_tol
-    jax.lax.cond(
-        converged,
-        lambda: None,
-        lambda: jax.debug.print(
-            "stheno_tpu.iterative: CG STALLED — rel residual {r:.3e} > tol "
-            "{t:.1e} after {i} iterations; the NLML value and its gradients "
-            "are unreliable (see docs/scaling.md on the f32 residual "
-            "floor). Raise max_cg_iters, the preconditioner rank, or the "
-            "noise floor.",
-            r=rel, t=cg_tol, i=iters,
-        ),
-    )
+    if _debug_callbacks_supported():
+        jax.lax.cond(
+            converged,
+            lambda: None,
+            lambda: jax.debug.print(
+                "stheno_tpu.iterative: CG STALLED — rel residual {r:.3e} > "
+                "tol {t:.1e} after {i} iterations; the NLML value and its "
+                "gradients are unreliable (see docs/scaling.md on the f32 "
+                "residual floor). Raise max_cg_iters, the preconditioner "
+                "rank, or the noise floor.",
+                r=rel, t=cg_tol, i=iters,
+            ),
+        )
     health = {
         "cg_iters": iters,
         "cg_rel_residual": rel,

@@ -384,9 +384,14 @@ _dist_nlml_2d.defvjp(_dist_nlml_2d_fwd, _dist_nlml_2d_bwd)
 
 def _solve_lower_2d(L, B, mesh, axis_r, axis_c, block):
     """Solve ``L X = B`` over the 2-D mesh: divide-and-conquer with
-    GSPMD-sharded off-diagonal GEMMs; at the base size the (small) ``L``
-    block is replicated and the RHS columns stay sharded over the mesh —
-    embarrassingly parallel across right-hand sides."""
+    GSPMD-sharded off-diagonal GEMMs; the base case is the 1-D blocked
+    forward substitution run along ``axis_r`` (rows of ``L`` sharded over
+    the mesh rows) and vectorised over ``axis_c`` (columns of ``B``
+    sharded over the mesh columns — independent right-hand sides, zero
+    communication along that axis). Thin RHS blocks are zero-padded to a
+    multiple of the column axis so they always shard: no device ever holds
+    a replicated O(N*M) RHS buffer, and the per-device ``L`` rows are
+    O(N^2/r) instead of the full replicated O(N^2)."""
     N = L.shape[-1]
     h = N // 2
     shard2 = NamedSharding(mesh, P(axis_r, axis_c))
@@ -395,19 +400,43 @@ def _solve_lower_2d(L, B, mesh, axis_r, axis_c, block):
         return jax.lax.with_sharding_constraint(a, shard2)
 
     if N <= _REC_BASE:
-        # Shard the RHS columns when they divide the axis; replicate thin
-        # right-hand sides (e.g. a single observation column).
+        from .cholesky import _dist_solve_lower_shard
+
+        r = mesh.shape[axis_r]
         c = mesh.shape[axis_c]
-        col_spec = axis_c if B.shape[-1] % c == 0 else None
-        B_sh = jax.lax.with_sharding_constraint(
-            B, NamedSharding(mesh, P(None, col_spec))
+        blk = min(block, N // r) if r <= N else 0
+        while blk > 0 and N % (r * blk) != 0:
+            blk //= 2
+        if blk == 0:
+            # Un-tileable base (N not divisible by the row axis): replicate
+            # L, shard what divides — the pre-round-3 fallback.
+            col_spec = axis_c if B.shape[-1] % c == 0 else None
+            B_sh = jax.lax.with_sharding_constraint(
+                B, NamedSharding(mesh, P(None, col_spec))
+            )
+            L_rep = jax.lax.with_sharding_constraint(
+                L, NamedSharding(mesh, P(None, None))
+            )
+            return lax.linalg.triangular_solve(
+                L_rep, B_sh, left_side=True, lower=True
+            )
+        M = B.shape[-1]
+        Mc = -(-M // c) * c
+        B_pad = (
+            B
+            if Mc == M
+            else jnp.concatenate(
+                [B, jnp.zeros((N, Mc - M), B.dtype)], axis=-1
+            )
         )
-        L_rep = jax.lax.with_sharding_constraint(
-            L, NamedSharding(mesh, P(None, None))
+        fn = shard_map(
+            partial(_dist_solve_lower_shard, axis=axis_r, block=blk),
+            mesh=mesh,
+            in_specs=(P(axis_r, None), P(axis_r, axis_c)),
+            out_specs=P(axis_r, axis_c),
         )
-        return lax.linalg.triangular_solve(
-            L_rep, B_sh, left_side=True, lower=True
-        )
+        X = fn(L, B_pad)
+        return X if Mc == M else X[:, :M]
 
     L11 = reshard(L[:h, :h])
     L21 = reshard(L[h:, :h])

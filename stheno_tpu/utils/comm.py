@@ -1,0 +1,186 @@
+"""Per-device communication-volume accounting from compiled XLA programs.
+
+The reference has no distributed runtime, so it has nothing to measure
+(SURVEY.md §5 "Distributed communication backend: absent"); for this
+build's ICI-riding collectives the *communicated bytes per device* is the
+first-order scaling quantity (ICI bandwidth is the pod-scale bottleneck;
+BASELINE.md's ">= 1.5x scaling efficiency at 2 hosts" target is a
+statement about exactly this). Real multi-chip hardware is not available
+here, so the accounting works on the *compiled HLO*: every collective
+instruction XLA emitted, its shape, its replica group, and how many times
+it runs (loop trip counts), folded through the standard ring cost model.
+This turns the 1-D-vs-2-D Cholesky communication claim
+(``parallel/cholesky2d.py``: O(N b) vs O(N b / sqrt(D)) per device) into a
+failing-on-regression artifact instead of prose.
+
+Ring cost model (per device, ``g`` = replica-group size, ``s`` = operand
+bytes):
+
+- ``all-gather``: receives ``(g-1)/g * out_bytes`` (its shard is local).
+- ``all-reduce``: ``2 (g-1)/g * s`` (reduce-scatter + all-gather).
+- ``reduce-scatter``: ``(g-1)/g * s``.
+- ``all-to-all``: ``(g-1)/g * s``.
+- ``collective-permute``: ``s`` (every device forwards its block once).
+"""
+
+import re
+
+__all__ = ["collective_traffic"]
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+
+_COLLECTIVES = (
+    "all-reduce",
+    "all-gather",
+    "reduce-scatter",
+    "all-to-all",
+    "collective-permute",
+)
+
+_INSTR_RE = re.compile(
+    r"=\s*(?:\(?[\w\[\]{},\s]*\)?\s*)?"
+    r"(all-reduce|all-gather|reduce-scatter|all-to-all|collective-permute)"
+    r"(?:-start)?\("
+)
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_GROUPS_RE = re.compile(r"replica_groups=\{?\{([\d,]+)\}")
+_GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
+_SOURCE_TARGET_RE = re.compile(r"source_target_pairs=\{")
+
+
+def _shape_bytes(text):
+    """Bytes of the first shape literal in ``text`` (the result shape for
+    most collectives; tuples take the first element, which matches the
+    per-operand accounting below)."""
+    m = _SHAPE_RE.search(text)
+    if not m:
+        return 0
+    dt, dims = m.groups()
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dt, 4)
+
+
+def _group_size(text, default):
+    m = _GROUPS_RE.search(text)
+    if m:
+        return len(m.group(1).split(","))
+    m = _GROUPS_IOTA_RE.search(text)
+    if m:  # iota_replica_group_list=[ngroups, group_size]
+        return int(m.group(2))
+    return default
+
+
+def collective_traffic(compiled, trip_counts=None, num_devices=None):
+    """Per-device communicated bytes of a compiled XLA executable.
+
+    Args:
+        compiled: the object returned by ``jax.jit(f).lower(...).compile()``
+            (anything with ``as_text()``).
+        trip_counts: fallback loop trip counts for while bodies whose HLO
+            carries no ``known_trip_count`` backend config (XLA usually
+            records it for counted ``fori_loop``s, in which case this is
+            ignored): a plain int for every such loop, or a mapping
+            ``{computation_name_substring: iterations}``.
+        num_devices: fallback replica-group size when an instruction
+            carries no ``replica_groups`` annotation.
+
+    Returns:
+        dict with per-collective-kind byte totals, ``"total"`` (bytes per
+        device), and ``"instructions"`` (a list of
+        ``(computation, kind, bytes_per_execution, executions)``).
+    """
+    text = compiled.as_text() if hasattr(compiled, "as_text") else str(compiled)
+
+    # Split into computations. Headers start at column 0 as
+    # "%name (args...) -> ..." or "ENTRY %name (..."; instruction lines are
+    # indented (argument lists may nest parentheses, so only anchor on the
+    # name).
+    comp_re = re.compile(r"^(ENTRY\s+)?%([\w\.\-]+)\s*\(", re.M)
+    bodies = {}  # name -> text block
+    entries = []
+    starts = [
+        (m.start(), m.group(2), bool(m.group(1))) for m in comp_re.finditer(text)
+    ]
+    for i, (pos, name, is_entry) in enumerate(starts):
+        end = starts[i + 1][0] if i + 1 < len(starts) else len(text)
+        bodies[name] = text[pos:end]
+        if is_entry:
+            entries.append(name)
+
+    # Execution counts by call-graph propagation: executions(X) = sum over
+    # referencing instructions of executions(caller) * weight, where a
+    # while's body/condition get the loop trip count (XLA records it as
+    # backend_config known_trip_count; fall back to ``trip_counts``) and
+    # fusion calls / to_apply get 1 per instruction.
+    call_re = re.compile(r"(calls|body|condition|to_apply)=\(?%?([\w\.\-]+)")
+    trip_re = re.compile(r'known_trip_count[":{\s]+n[":\s]+(\d+)')
+
+    def default_trips(comp_name):
+        if trip_counts is None:
+            return 1
+        if isinstance(trip_counts, int):
+            return trip_counts
+        for key, n in trip_counts.items():
+            if key in comp_name:
+                return n
+        return 1
+
+    rev = {}  # callee -> list of (caller, weight)
+    for name, body in bodies.items():
+        for line in body.splitlines():
+            refs = call_re.findall(line)
+            if not refs:
+                continue
+            tm = trip_re.search(line)
+            for kind, callee in refs:
+                if kind in ("body", "condition"):
+                    w = int(tm.group(1)) if tm else default_trips(callee)
+                else:
+                    w = 1
+                rev.setdefault(callee, []).append((name, w))
+
+    _execs = {}
+
+    def executions(comp):
+        if comp in _execs:
+            return _execs[comp]
+        _execs[comp] = 0  # Cycle guard (HLO call graphs are DAGs).
+        if comp in entries or comp not in rev:
+            _execs[comp] = 1
+        else:
+            _execs[comp] = sum(
+                executions(caller) * w for caller, w in rev[comp]
+            )
+        return _execs[comp]
+
+    totals = {k: 0.0 for k in _COLLECTIVES}
+    instructions = []
+    for comp_name, body in bodies.items():
+        mult = executions(comp_name)
+        for line in body.splitlines():
+            m = _INSTR_RE.search(line)
+            if not m:
+                continue
+            kind = m.group(1)
+            out_bytes = _shape_bytes(line)
+            g = _group_size(line, num_devices or 1)
+            if kind == "all-gather":
+                per_dev = (g - 1) / max(g, 1) * out_bytes
+            elif kind == "all-reduce":
+                per_dev = 2.0 * (g - 1) / max(g, 1) * out_bytes
+            elif kind in ("reduce-scatter", "all-to-all"):
+                per_dev = (g - 1) / max(g, 1) * out_bytes
+            else:  # collective-permute
+                per_dev = float(out_bytes)
+            totals[kind] += per_dev * mult
+            instructions.append((comp_name, kind, per_dev, mult))
+    totals["total"] = sum(totals[k] for k in _COLLECTIVES)
+    totals["instructions"] = instructions
+    return totals

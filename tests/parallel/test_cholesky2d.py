@@ -150,3 +150,40 @@ def test_dist_nlml_2d_value_only_prunes_inverse():
     )
     assert f_val <= 1.3 * f_chol, (f_val, f_chol)
     assert f_vg > 2.0 * f_val  # The gradient actually pays for the inverse.
+
+
+def test_solve_lower_2d_base_sharded_parity_and_balance():
+    """The base-case 2-D triangular solve shards L rows over the mesh rows
+    and RHS columns (zero-padded) over the mesh columns: per-device FLOPs
+    and bytes shrink vs the 1x1 program (no replicated O(N*M) RHS buffer),
+    and thin RHS (1 column) still works via padding."""
+    N = 512
+    K = _psd(N, seed=21)
+    L = jnp.asarray(np.linalg.cholesky(np.asarray(K)))
+    rhs = jnp.asarray(np.random.RandomState(22).randn(N, 8))
+    rhs_thin = rhs[:, :1]
+
+    mesh8 = make_grid_mesh(2, 4)
+    mesh1 = make_grid_mesh(1, 1)
+    for B in (rhs, rhs_thin):
+        X = c2d._solve_lower_2d(L, B, mesh8, "rows", "cols", 64)
+        np.testing.assert_allclose(
+            np.asarray(X),
+            np.linalg.solve(np.asarray(L), np.asarray(B)),
+            rtol=1e-8, atol=1e-8,
+        )
+
+    def cost(mesh):
+        return (
+            jax.jit(lambda L, B: c2d._solve_lower_2d(L, B, mesh, "rows", "cols", 64))
+            .lower(L, rhs)
+            .compile()
+            .cost_analysis()
+        )
+
+    c1, c8 = cost(mesh1), cost(mesh8)
+    assert c8["flops"] <= 0.6 * c1["flops"], (c8["flops"], c1["flops"])
+    # Per-device traffic also drops: nothing replicates the O(N*M) RHS.
+    assert c8["bytes accessed"] <= 0.75 * c1["bytes accessed"], (
+        c8["bytes accessed"], c1["bytes accessed"],
+    )
