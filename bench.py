@@ -13,8 +13,14 @@ full measured matrix (BASELINE.md build targets):
 - ``n8192_nlml_grad_ms`` / ``n16384_nlml_grad_ms`` + ``..._tflops``:
   dense-path NLML value+grad with achieved TFLOP/s against the
   ``exact_gp_flops`` roofline count.
-- ``iterative_n262144_step_s``: exact-GP NLML+gradient at N=262,144 on one
-  chip, matrix-free (the 275 GB Gram is never materialised).
+- ``iterative_n262144_step_s`` / ``..._amortised_step_s`` /
+  ``..._precond_build_s``: exact-GP NLML+gradient at N=262,144 on one
+  chip, matrix-free (the 275 GB Gram is never materialised), with and
+  without per-step preconditioner rebuild.
+- ``iterative_posterior_mean_n262144_s`` /
+  ``iterative_posterior_var_n262144_s``: the full exact-GP posterior at
+  N=262,144 (mean at 4096 points; variance diagonal at 2048 points via
+  the host-loop chunk schedule) — the north-star posterior gate.
 - ``dist_elbo_n1e6_m512_ms``: 1M-point VFE ELBO+gradient step.
 
 Timing: the TPU sits behind a network tunnel where each dispatch+fetch
@@ -167,9 +173,17 @@ def bench_dense_nlml_grad(n, dtype):
 
 
 def bench_iterative_262k(dtype):
-    """Matrix-free exact-GP NLML+gradient at N=262,144 on one chip."""
+    """The N=262,144 exact-GP north star on one chip, matrix-free:
+    NLML+gradient training step (fresh-preconditioner and amortised), and
+    the full posterior — mean AND variance — through the shared whitened
+    solver state. Returns a dict of suite entries."""
     from stheno_tpu import EQ
-    from stheno_tpu.iterative import iterative_nlml
+    from stheno_tpu.iterative import (
+        eig_precond_state,
+        iterative_nlml,
+        iterative_posterior_mean,
+        iterative_posterior_var,
+    )
 
     n = 262_144
     r = np.random.RandomState(0)
@@ -180,28 +194,95 @@ def bench_iterative_262k(dtype):
         "log_s2": jnp.asarray(0.0, dtype),
         "log_ell": jnp.asarray(0.0, dtype),
     }
+    out = {}
+
+    # Shared preconditioner state (the amortised-training/serving path);
+    # its build cost is reported separately — refresh every k steps costs
+    # build/k per step.
+    build = jax.jit(
+        lambda p, key: eig_precond_state(kf, p, x, 64, key, block=8192)
+    )
+    bkeys = iter(jax.random.split(jax.random.PRNGKey(7), 8))
+    state = build(params, next(bkeys))
+    jax.block_until_ready(state)
+    out["iterative_n262144_precond_build_s"] = round(
+        _direct_time(
+            lambda: jax.block_until_ready(build(params, next(bkeys))), 2
+        ),
+        3,
+    )
+
+    def make_vg(**kw):
+        @jax.jit
+        def vg(p, key):
+            # 16 probes at rank 64: extra right-hand sides share every
+            # Gram tile sweep, so doubling the probes halves the gradient
+            # variance at measured-equal step time.
+            return jax.value_and_grad(
+                lambda p: iterative_nlml(
+                    kf, p, x, y, 0.1, key,
+                    num_probes=16, cg_tol=1e-2, max_cg_iters=200,
+                    slq_steps=30, block=8192, **kw,
+                )
+            )(p)
+        return vg
+
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 16))
+    for name, vg in [
+        ("iterative_n262144_step_s", make_vg(precond_rank=64)),
+        ("iterative_n262144_amortised_step_s", make_vg(precond_state=state)),
+    ]:
+        def step():
+            v, g = vg(params, next(keys))
+            assert np.isfinite(float(v))
+            float(g["log_s2"])
+        out[name] = round(_direct_time(step, repeats=2), 2)
+
+    # Posterior mean at 4096 points (shared state; driver gate VERDICT r2
+    # #1: the reference's whole purpose is posterior prediction).
+    x_new = jnp.linspace(0.0, 10.0, 4096, dtype=dtype)
 
     @jax.jit
-    def vg(p, key):
-        # 16 probes at rank 64: extra right-hand sides share every Gram
-        # tile sweep, so doubling the probes halves the gradient variance
-        # at measured-equal step time (2.37 s, v5e).
-        return jax.value_and_grad(
-            lambda p: iterative_nlml(
-                kf, p, x, y, 0.1, key,
-                num_probes=16, cg_tol=1e-2, max_cg_iters=200,
-                slq_steps=30, precond_rank=64, block=8192,
-            )
-        )(p)
+    def pmean(p):
+        return iterative_posterior_mean(
+            kf, p, x, y, 0.1, x_new, cg_tol=1e-4, max_cg_iters=200,
+            precond_state=state, block=8192,
+        )[0]
 
-    keys = iter(jax.random.split(jax.random.PRNGKey(0), 8))
+    jax.block_until_ready(pmean(params))
+    pi = iter(np.linspace(0, 1e-6, 8))
 
-    def step():
-        v, g = vg(params, next(keys))
-        assert np.isfinite(float(v))
-        float(g["log_s2"])
+    def mean_step():
+        p = {"log_s2": params["log_s2"] + next(pi),
+             "log_ell": params["log_ell"]}
+        jax.block_until_ready(pmean(p))
 
-    return _direct_time(step, repeats=2)
+    out["iterative_posterior_mean_n262144_s"] = round(
+        _direct_time(mean_step, repeats=2), 3
+    )
+
+    # Posterior variance at 2048 points, chunk 512, HOST-loop schedule:
+    # the fused lax.map program compiles but faults the device at this N
+    # on this toolchain (r2 known fault); the identical per-chunk program
+    # dispatched from a host loop runs fine (r3) and is the extreme-N
+    # serving path.
+    def var_run():
+        var = iterative_posterior_var(
+            kf, params, x, y, 0.1,
+            jnp.linspace(0.0, 10.0, 2048, dtype=dtype),
+            cg_tol=1e-4, max_cg_iters=200, precond_state=state,
+            block=8192, chunk=512, mode="host",
+        )
+        var = np.asarray(var)
+        assert np.all(var >= 0) and np.all(np.isfinite(var))
+
+    var_run()  # Compile all chunk programs once.
+    t0 = time.perf_counter()
+    var_run()
+    out["iterative_posterior_var_n262144_s"] = round(
+        time.perf_counter() - t0, 2
+    )
+    return out
 
 
 def bench_dist_elbo_1m(dtype):
@@ -242,6 +323,12 @@ def bench_dist_elbo_1m(dtype):
 
 def main():
     t_bench0 = time.time()
+    try:
+        # Persistent compile cache: the 262k programs cost minutes through
+        # the remote compile helper; identical HLO re-runs are free.
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    except Exception:
+        pass
     on_tpu = jax.default_backend() not in ("cpu",)
     dtype = jnp.float32 if on_tpu else jnp.float64
     np_dtype = np.float32 if on_tpu else np.float64
@@ -260,9 +347,7 @@ def main():
             suite[f"n{n}_nlml_grad_ms"] = round(ms, 2)
             suite[f"n{n}_nlml_grad_tflops"] = round(tflops, 2)
 
-        suite["iterative_n262144_step_s"] = round(
-            bench_iterative_262k(np_dtype), 2
-        )
+        suite.update(bench_iterative_262k(np_dtype))
         suite["dist_elbo_n1e6_m512_ms"] = round(bench_dist_elbo_1m(dtype), 1)
 
     suite["bench_wall_s"] = round(time.time() - t_bench0, 1)

@@ -41,12 +41,17 @@ for n in (8192, 16384):
     def timed(tag, f):
         def make(iters):
             @jax.jit
-            def many():
+            def many(A, L):
+                # Operands are ARGUMENTS, not closure constants — a closed-
+                # over 268 MB array is serialized into the remote compile
+                # request and trips its HTTP 413 length limit.
                 def body(i, acc):
                     out = f(A + acc * 1e-30, L + acc * 1e-30)
-                    return acc + jnp.sum(out[-1:, -1:]) * 1e-30
+                    # FULL reduction: a sliced output lets XLA slice the
+                    # GEMM itself down to a dot product.
+                    return acc + jnp.sum(out) * 1e-30
                 return lax.fori_loop(0, iters, body, jnp.asarray(0.0, jnp.float32))
-            return many
+            return lambda: many(A, L)
         t = slope_time(make, 1, 4)
         tf = 2 * n**3 / t / 1e12
         log(f"GEMM n={n} {tag}: {t*1e3:.1f}ms {tf:.1f}TF/s")

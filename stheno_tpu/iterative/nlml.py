@@ -149,12 +149,17 @@ def iterative_nlml(
 
     ``surrogate_tile_dtype``: optional storage dtype (e.g.
     ``jnp.bfloat16``) for the Gram tiles of the BACKWARD surrogate sweep
-    only. The backward pass is already a stochastic estimator whose probe
-    variance dominates tile rounding (measured; see docs/scaling.md), so
-    bf16 tiles are a near-2x backward speedup at unchanged gradient
-    quality. The CG/logdet *forward* always stays in the input dtype —
-    bf16 tiles there are measurably unsafe (rounding breaks operator
-    symmetry enough to destroy CG convergence and bias the logdet).
+    only (the forward CG/logdet always stays in the input dtype).
+    **Measured and REJECTED at the north-star scale** (N=262,144, v5e,
+    r3): the hypothesis was that probe variance would dominate tile
+    rounding, but bf16 rounding is *correlated with the tiles'
+    theta-structure*, so the surrogate-gradient bias grows with N instead
+    of averaging out — at 262k, g_ell = -18049 (bf16) vs -51.0 +/- 7.6
+    across probe draws (f32): a ~1000x-probe-noise systematic bias — for
+    a 4% step-time saving (1.765 vs 1.839 s; the backward also
+    differentiates the f32 tile *build*, which bf16 GEMMs don't touch).
+    Kept as plumbing for small-N experimentation only; leave ``None``
+    for training.
 
     ``return_info=True`` additionally returns solver-health diagnostics
     ``{"cg_iters", "cg_rel_residual", "cg_converged"}`` from the forward

@@ -809,17 +809,43 @@ def _chol_arrays(a):
     )
 
 
+def _barrier_factors(L, Linv):
+    """``lax.optimization_barrier`` around the saved factors before the
+    backward formulas consume them. Measured necessity (v5e, r3): without
+    it XLA fuses/schedules the backward K^{-1} GEMM across the
+    factorisation boundary and the COMBINED program runs ~2.2-2.6x slower
+    than the sum of its parts (n=16384: 1310 ms vs 513 ms with the
+    barrier — fwd 227 + bwd 277 standalone). The barrier costs nothing:
+    both sides are already flop-minimal, it only stops the cross-boundary
+    fusion."""
+    if Linv is None:
+        return jax.lax.optimization_barrier(L), None
+    return jax.lax.optimization_barrier((L, Linv))
+
+
 @config.pin_matmul_precision
 def _kinv_from_chol(L, Linv):
     """``A^{-1}`` from its Cholesky factor: one GEMM when the carried
-    inverse exists, two triangular solves otherwise."""
+    inverse exists, two triangular solves otherwise.
+
+    The GEMM runs at 3-pass ``HIGH`` rather than the library's pinned
+    6-pass ``HIGHEST``: this product is a *gradient covector*, not part
+    of a factorisation chain — HIGH's ~4e-6 elementwise rounding lands
+    the end-to-end NLML gradient within 2.5e-5 relative of the HIGHEST
+    one (measured n=8192, v5e: 265.9826 vs 265.9760) while halving the
+    dominant backward GEMM (274 -> 139 ms at n=16384). The CLAUDE.md
+    HIGH-is-unsafe finding applies to Cholesky-*internal* GEMMs, where
+    rounding compounds into the factor."""
     if Linv is None:
         eye = jnp.eye(L.shape[-1], dtype=L.dtype)
         if L.ndim > 2:
             eye = jnp.broadcast_to(eye, L.shape)
         Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
     return jnp.matmul(
-        jnp.swapaxes(Linv, -1, -2), Linv, preferred_element_type=L.dtype
+        jnp.swapaxes(Linv, -1, -2),
+        Linv,
+        preferred_element_type=L.dtype,
+        precision=jax.lax.Precision.HIGH,
     )
 
 
@@ -847,6 +873,7 @@ def _logdet_chol_fwd(mat, L, Linv):
 @config.pin_matmul_precision
 def _logdet_chol_bwd(res, g):
     L, Linv = res
+    L, Linv = _barrier_factors(L, Linv)
     mat_bar = g[..., None, None] * _kinv_from_chol(L, Linv)
     return (
         mat_bar,
@@ -878,6 +905,7 @@ def _iqf_diag_chol_fwd(mat, L, Linv, b, c):
 @config.pin_matmul_precision
 def _iqf_diag_chol_bwd(res, g):
     L, Linv, b, c = res
+    L, Linv = _barrier_factors(L, Linv)
     ab = _chol_apply_inv(L, Linv, b)
     ac = ab if c is b else _chol_apply_inv(L, Linv, c)
     gb = g[..., None, :]
@@ -912,6 +940,7 @@ def _iqf_chol_fwd(mat, L, Linv, b, c):
 @config.pin_matmul_precision
 def _iqf_chol_bwd(res, g):
     L, Linv, b, c = res
+    L, Linv = _barrier_factors(L, Linv)
     ab = _chol_apply_inv(L, Linv, b)
     ac = ab if c is b else _chol_apply_inv(L, Linv, c)
     # value = b^T A^{-1} c; dA = -A^{-1} b g c^T A^{-1} (symmetric A).

@@ -16,3 +16,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite's wall time is dominated by XLA
+# compiles of the distributed (GSPMD) graphs; identical HLO across runs
+# (and across parametrised cases) loads from cache instead of recompiling.
+jax.config.update("jax_compilation_cache_dir", "/tmp/stheno_tpu_test_jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

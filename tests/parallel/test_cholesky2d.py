@@ -51,10 +51,11 @@ def test_dist_cholesky_2d_uneven_block_clips():
 
 
 def test_dist_cholesky_2d_recursive_parity(monkeypatch):
+    # One recursion level; see the 1-D note in test_distributed.py.
     monkeypatch.setattr(c2d, "_REC_BASE", 64)
     mesh = make_grid_mesh(2, 4)
-    K = _psd(256, seed=7)
-    L = dist_cholesky_2d(K, mesh, block=8)
+    K = _psd(128, seed=7)
+    L = jax.jit(lambda K: dist_cholesky_2d(K, mesh, block=8))(K)
     np.testing.assert_allclose(
         np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
     )
@@ -88,7 +89,9 @@ def test_dist_cholesky_2d_with_inv_parity(monkeypatch):
     monkeypatch.setattr(c2d, "_REC_BASE", 64)
     mesh = make_grid_mesh(2, 4)
     K = _psd(128, seed=11)
-    L, Linv = c2d.dist_cholesky_2d_with_inv(K, mesh, block=8)
+    L, Linv = jax.jit(
+        lambda K: c2d.dist_cholesky_2d_with_inv(K, mesh, block=8)
+    )(K)
     np.testing.assert_allclose(
         np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
     )

@@ -396,9 +396,13 @@ def test_dist_cholesky_recursive_parity(mesh, monkeypatch):
     threshold below N."""
     import stheno_tpu.parallel.cholesky as pc
 
+    # One recursion level (128 -> 64-base) is the full inductive step;
+    # deeper nesting only repeats it while doubling the GSPMD compile.
     monkeypatch.setattr(pc, "_REC_BASE", 64)
-    K = _psd(256, 7)
-    L = pc.dist_cholesky(K, mesh, block=8)
+    K = _psd(128, 7)
+    # jit the whole recursion: eagerly it dispatches (and compiles)
+    # every level's ops one by one — ~10x the wall time for no coverage.
+    L = jax.jit(lambda K: pc.dist_cholesky(K, mesh, block=8))(K)
     np.testing.assert_allclose(
         np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
     )
@@ -420,9 +424,12 @@ def test_dist_cholesky_recursive_parity(mesh, monkeypatch):
         return -f2.measure.logpdf(f2(x, 0.1), y)
 
     p = jnp.asarray(0.3)
-    np.testing.assert_allclose(float(nlml_dist(p)), float(nlml_ref(p)), rtol=1e-7)
     np.testing.assert_allclose(
-        float(jax.grad(nlml_dist)(p)), float(jax.grad(nlml_ref)(p)), rtol=1e-5
+        float(jax.jit(nlml_dist)(p)), float(nlml_ref(p)), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(jax.jit(jax.grad(nlml_dist))(p)),
+        float(jax.grad(nlml_ref)(p)), rtol=1e-5,
     )
 
 
@@ -431,10 +438,10 @@ def test_dist_solve_lower_recursive_parity(mesh, monkeypatch):
     import stheno_tpu.parallel.cholesky as pc
 
     monkeypatch.setattr(pc, "_REC_BASE", 64)
-    K = _psd(256, 11)
+    K = _psd(128, 11)
     L = jnp.asarray(np.linalg.cholesky(np.asarray(K)))
-    B = jnp.asarray(np.random.RandomState(12).randn(256, 7))
-    X = pc.dist_solve_lower(L, B, mesh, block=8)
+    B = jnp.asarray(np.random.RandomState(12).randn(128, 7))
+    X = jax.jit(lambda L, B: pc.dist_solve_lower(L, B, mesh, block=8))(L, B)
     np.testing.assert_allclose(
         np.asarray(X), np.linalg.solve(np.asarray(L), np.asarray(B)),
         rtol=1e-7, atol=1e-9,
@@ -608,7 +615,8 @@ def test_dist_cholesky_with_inv_parity(mesh, monkeypatch):
     import stheno_tpu.parallel.cholesky as pc
 
     K = _psd(192, 27)
-    L, Linv = pc.dist_cholesky_with_inv(K, mesh, block=8)
+    with_inv = jax.jit(lambda K: pc.dist_cholesky_with_inv(K, mesh, block=8))
+    L, Linv = with_inv(K)
     np.testing.assert_allclose(
         np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8, atol=1e-8
     )
@@ -617,11 +625,13 @@ def test_dist_cholesky_with_inv_parity(mesh, monkeypatch):
     )
 
     monkeypatch.setattr(pc, "_REC_BASE", 64)
-    K2 = _psd(256, 28)
-    L2, Linv2 = pc.dist_cholesky_with_inv(K2, mesh, block=8)
+    K2 = _psd(128, 28)
+    L2, Linv2 = jax.jit(
+        lambda K: pc.dist_cholesky_with_inv(K, mesh, block=8)
+    )(K2)
     np.testing.assert_allclose(
         np.asarray(L2), np.linalg.cholesky(np.asarray(K2)), rtol=1e-8, atol=1e-8
     )
     np.testing.assert_allclose(
-        np.asarray(Linv2) @ np.asarray(L2), np.eye(256), atol=1e-7
+        np.asarray(Linv2) @ np.asarray(L2), np.eye(128), atol=1e-7
     )
