@@ -478,13 +478,13 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
       end-to-end, the right choice inside a larger jitted computation.
     - ``"host"``: ONE per-chunk program jitted once and dispatched from a
       host-side Python loop (the whitened solver is still built once and
-      shared). Same math, same compile count, but each dispatch is a small
-      bounded program. This is the extreme-N path: on the remote v5e
-      toolchain the fused ``lax.map`` program FAULTS the device at
-      N=262,144 ("UNAVAILABLE: TPU device error" — a toolchain fault, not
-      an OOM; CLAUDE.md known-fault note), while the host loop of the
-      identical per-chunk program runs fine. Not usable under an outer
-      ``jax.jit``.
+      shared). Same math, same compile count, but each dispatch is a
+      small bounded program. History: the fused ``lax.map`` program
+      FAULTED the remote v5e at N=262,144 in round 2 ("UNAVAILABLE: TPU
+      device error" — a toolchain fault, not an OOM); the fault no longer
+      reproduces in round 3 (even on an exact r2-shaped program), but
+      host mode is kept as the resilient extreme-N serving path. Not
+      usable under an outer ``jax.jit``.
 
     ``precond_state``: optional prebuilt ``(U, lam)`` shared with the
     training loop / posterior-mean call.
