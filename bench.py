@@ -266,19 +266,23 @@ def bench_iterative_262k(dtype):
     # on this toolchain (r2 known fault); the identical per-chunk program
     # dispatched from a host loop runs fine (r3) and is the extreme-N
     # serving path.
-    def var_run():
+    def var_run(shift):
+        # ``shift`` nudges the test-point INPUTS (not the kernel params,
+        # which are compile-time constants of the per-chunk program) so
+        # the timed rep is not a byte-identical re-dispatch the remote
+        # side could serve from its result cache (CLAUDE.md).
         var = iterative_posterior_var(
             kf, params, x, y, 0.1,
-            jnp.linspace(0.0, 10.0, 2048, dtype=dtype),
+            jnp.linspace(0.0, 10.0, 2048, dtype=dtype) + shift,
             cg_tol=1e-4, max_cg_iters=200, precond_state=state,
             block=8192, chunk=512, mode="host",
         )
         var = np.asarray(var)
         assert np.all(var >= 0) and np.all(np.isfinite(var))
 
-    var_run()  # Compile all chunk programs once.
+    var_run(0.0)  # Compile all chunk programs once.
     t0 = time.perf_counter()
-    var_run()
+    var_run(1e-6)
     out["iterative_posterior_var_n262144_s"] = round(
         time.perf_counter() - t0, 2
     )

@@ -334,7 +334,14 @@ class Normal(RandomVector):
             # ``masked + eps I`` (the jitter makes the singular matrix
             # factorable); fold the same eps into a Woodbury diagonal
             # instead, so logdet/iqf keep the O(N r^2) closed forms on the
-            # *identical* regularised matrix.
+            # *identical* regularised matrix. Accuracy caveat: the
+            # Woodbury-lemma quadratic form differences O(1/eps) terms, so
+            # when the residual lies IN the low-rank range the absolute
+            # error is ~(1/eps)*round-off — ~1e-4 in f64 (tested), but
+            # O(10) in f32 at eps=1e-8. Degenerate-variance masked logpdf
+            # is an f64 path; in f32, add explicit observation noise
+            # (-> Woodbury with a real diagonal) as the reference's own
+            # workflow does.
             from .. import config
 
             eps = jnp.asarray(config.jitter(dtype), dtype)

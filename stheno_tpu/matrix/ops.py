@@ -967,7 +967,11 @@ _iqf_chol.defvjp(_iqf_chol_fwd, _iqf_chol_bwd)
 def iqf(a, b, c=None):
     """Inner quadratic form ``b^T a^{-1} c`` (``c`` defaults to ``b``),
     matching the reference's ``B.iqf``. 1-D operands are treated as single
-    columns (result ``(1, 1)``)."""
+    columns (result ``(1, 1)``).
+
+    Reverse-mode only on the dense-Cholesky branch (analytic
+    ``custom_vjp``; ``jvp``/``jacfwd``/``hessian`` raise — see the
+    analytic-VJP note above)."""
     b = _as_col_operand(b)
     if c is None:
         c = b
@@ -995,7 +999,8 @@ def iqf(a, b, c=None):
 @config.pin_matmul_precision
 def iqf_diag(a, b, c=None):
     """``diag(b^T a^{-1} c)`` as a vector ``(..., m)``. 1-D operands are
-    treated as single columns (result ``(1,)``)."""
+    treated as single columns (result ``(1,)``). Reverse-mode only on the
+    dense-Cholesky branch (see the analytic-VJP note above)."""
     b = _as_col_operand(b)
     if c is None:
         c = b
@@ -1018,7 +1023,8 @@ def iqf_diag(a, b, c=None):
 @config.pin_matmul_precision
 def logdet(a):
     """Log-determinant. Woodbury uses the matrix-determinant lemma so e.g.
-    Bayesian linear regression stays O(N r^2)."""
+    Bayesian linear regression stays O(N r^2). Reverse-mode only on the
+    dense-Cholesky branch (see the analytic-VJP note above)."""
     if isinstance(a, Diagonal):
         return jnp.sum(jnp.log(a.diag), axis=-1)
     if isinstance(a, Woodbury):

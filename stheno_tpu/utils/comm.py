@@ -18,7 +18,7 @@ bytes):
 
 - ``all-gather``: receives ``(g-1)/g * out_bytes`` (its shard is local).
 - ``all-reduce``: ``2 (g-1)/g * s`` (reduce-scatter + all-gather).
-- ``reduce-scatter``: ``(g-1)/g * s``.
+- ``reduce-scatter``: ``(g-1)/g * s`` (= ``(g-1) *`` result bytes).
 - ``all-to-all``: ``(g-1)/g * s``.
 - ``collective-permute``: ``s`` (every device forwards its block once).
 """
@@ -49,7 +49,6 @@ _INSTR_RE = re.compile(
 _SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
 _GROUPS_RE = re.compile(r"replica_groups=\{?\{([\d,]+)\}")
 _GROUPS_IOTA_RE = re.compile(r"replica_groups=\[(\d+),(\d+)\]")
-_SOURCE_TARGET_RE = re.compile(r"source_target_pairs=\{")
 
 
 def _shape_bytes(text):
@@ -175,7 +174,11 @@ def collective_traffic(compiled, trip_counts=None, num_devices=None):
                 per_dev = (g - 1) / max(g, 1) * out_bytes
             elif kind == "all-reduce":
                 per_dev = 2.0 * (g - 1) / max(g, 1) * out_bytes
-            elif kind in ("reduce-scatter", "all-to-all"):
+            elif kind == "reduce-scatter":
+                # The parsed shape is the scattered RESULT (operand/g):
+                # ring cost (g-1)/g * operand = (g-1) * result bytes.
+                per_dev = (g - 1) * out_bytes
+            elif kind == "all-to-all":
                 per_dev = (g - 1) / max(g, 1) * out_bytes
             else:  # collective-permute
                 per_dev = float(out_bytes)

@@ -154,8 +154,10 @@ def resumable_minimise(
             # Roll back: redo the last update from the last validated
             # state at halved update scale.
             rejected += 1
-            if not rollback_steps or rollback_steps[-1] != step + 1:
-                rollback_steps.append(step + 1)
+            # ``step`` was already advanced past the update that produced
+            # these params, so the rejected step IS ``step``.
+            if not rollback_steps or rollback_steps[-1] != step:
+                rollback_steps.append(step)
             retries += 1
             scale *= 0.5
             params, opt_state = apply(

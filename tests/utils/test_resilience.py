@@ -112,9 +112,9 @@ def test_trace_aligns_with_steps_despite_rollback(tmp_path):
     )
     assert len(info["objective_trace"]) == 8 + 1
     assert info["rejected_steps"] >= 1  # The overshoot was caught.
-    assert info["rollback_steps"] and all(
-        1 <= s <= 8 for s in info["rollback_steps"]
-    )
+    # The FIRST update (step 1: w=0 -> 24, through the NaN wall) is the
+    # rejected one — rollback_steps must name it exactly.
+    assert info["rollback_steps"] == [1], info["rollback_steps"]
 
 
 def test_checkpoint_treedef_mismatch_raises(tmp_path):
