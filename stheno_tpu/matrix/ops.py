@@ -715,13 +715,16 @@ def solve(a, b):
         a = as_matrix(a)
     L = cholesky(a)
     if isinstance(L, LowerTriangular):
-        y = _solve_triangular(L, b, lower=True)
-        inv = getattr(L, "_cache", {}).get("inv")
-        if inv is not None and y.ndim == inv.ndim:
-            return jnp.matmul(
-                jnp.swapaxes(inv, -1, -2), y, preferred_element_type=y.dtype
+        mat, L_arr, Linv = _chol_arrays(a)
+        b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
+        if b_arr.ndim != L_arr.ndim:
+            # Batched factor against unbatched RHS (or vice versa): keep
+            # the transparent-autodiff path for the broadcasty cases.
+            y = _solve_triangular(L, b, lower=True)
+            return jax.scipy.linalg.solve_triangular(
+                L.mat, y, lower=True, trans="T"
             )
-        return jax.scipy.linalg.solve_triangular(L.mat, y, lower=True, trans="T")
+        return _solve_chol(mat, L_arr, Linv, b_arr)
     # Structured factor (e.g. Kronecker of triangulars): recurse.
     return solve(transpose(L), solve(L, b))
 
@@ -962,6 +965,36 @@ def _iqf_chol_bwd(res, g):
 
 
 _iqf_chol.defvjp(_iqf_chol_fwd, _iqf_chol_bwd)
+
+
+@jax.custom_vjp
+def _solve_chol(mat, L, Linv, b):
+    return _chol_apply_inv(L, Linv, b)
+
+
+def _solve_chol_fwd(mat, L, Linv, b):
+    x = _solve_chol(mat, L, Linv, b)
+    return x, (L, Linv, x)
+
+
+@config.pin_matmul_precision
+def _solve_chol_bwd(res, g):
+    L, Linv, x = res
+    L, Linv = _barrier_factors(L, Linv)
+    # x = A^{-1} b (symmetric A): bbar = A^{-1} g; Abar = -bbar x^T.
+    b_bar = _chol_apply_inv(L, Linv, g)
+    mat_bar = -jnp.matmul(
+        b_bar, jnp.swapaxes(x, -1, -2), preferred_element_type=x.dtype
+    )
+    return (
+        mat_bar,
+        jnp.zeros_like(L),
+        None if Linv is None else jnp.zeros_like(Linv),
+        b_bar,
+    )
+
+
+_solve_chol.defvjp(_solve_chol_fwd, _solve_chol_bwd)
 
 
 def iqf(a, b, c=None):

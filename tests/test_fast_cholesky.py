@@ -283,3 +283,37 @@ def test_dense_grad_parity_fast_vs_xla_paths():
     dKdp = (Kp - Km) / (2 * eps)
     g_ref = float(np.sum(dNdK * dKdp))
     np.testing.assert_allclose(grads["fast"], g_ref, rtol=1e-4)
+
+
+def test_solve_analytic_vjp_parity():
+    """The dense solve's custom VJP (bbar = A^{-1}g, Abar = -bbar x^T)
+    matches finite differences and is identical across the fast/XLA
+    factorisation branches — posterior-prediction gradients no longer
+    reverse-mode through the factorisation recursion."""
+    import stheno_tpu.matrix as M
+    from stheno_tpu import config
+
+    n = 120
+    r = np.random.RandomState(3)
+    base = r.randn(n, n)
+    yv = jnp.asarray(r.randn(n, 2))
+
+    def build(s):
+        A = jnp.asarray(base @ base.T) + (n + s) * jnp.eye(n)
+        return A
+
+    def loss(s):
+        x = M.solve(M.Dense(build(s)), yv)
+        return jnp.sum(x * jnp.asarray(np.arange(2 * n).reshape(n, 2) / n))
+
+    grads = {}
+    for impl in ("fast", "xla"):
+        config.set_cholesky_impl(impl)
+        try:
+            grads[impl] = float(jax.grad(loss)(jnp.asarray(0.7)))
+        finally:
+            config.set_cholesky_impl("auto")
+    np.testing.assert_allclose(grads["fast"], grads["xla"], rtol=1e-9)
+    eps = 1e-6
+    fd = (float(loss(0.7 + eps)) - float(loss(0.7 - eps))) / (2 * eps)
+    np.testing.assert_allclose(grads["fast"], fd, rtol=1e-5)
