@@ -133,3 +133,31 @@ def test_comm_volume_4x8_pod_shape():
     )
     assert out.returncode == 0, (out.stdout, out.stderr)
     assert "OK" in out.stdout, out.stdout
+
+
+def test_sharded_matvec_comm_matches_model():
+    """The row-sharded iterative matvec costs ONE all_gather of the (n, p)
+    block per chained application — (D-1)/D * n * p * w bytes per device,
+    the per-CG-iteration ICI cost of the multi-chip iterative path. Two
+    matvecs are chained because that is where the gather lives: a single
+    terminal matvec legitimately leaves its output row-sharded (zero
+    collectives — also asserted), and only feeding it back as the next
+    replicated RHS forces the exchange, exactly as CG does."""
+    from stheno_tpu import EQ
+    from stheno_tpu.parallel import sharded_kernel_matvec
+
+    n, p = 256, 4
+    x = jnp.linspace(0.0, 10.0, n)
+    v = jnp.asarray(np.random.RandomState(1).randn(n, p))
+    mesh = make_data_mesh(8)
+
+    def mv(x, vv):
+        return sharded_kernel_matvec(EQ(), x, vv, mesh, noise=0.1, block=64)
+
+    t1 = collective_traffic(jax.jit(mv).lower(x, v).compile())
+    assert t1["total"] == 0.0, t1  # Terminal matvec: output stays sharded.
+    t2 = collective_traffic(
+        jax.jit(lambda x, v: mv(x, mv(x, v))).lower(x, v).compile()
+    )
+    model = (8 - 1) / 8 * n * p * 8  # f64 on the CPU test mesh.
+    np.testing.assert_allclose(t2["total"], model, rtol=1e-6)
