@@ -635,3 +635,23 @@ def test_dist_cholesky_with_inv_parity(mesh, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(Linv2) @ np.asarray(L2), np.eye(128), atol=1e-7
     )
+
+
+def test_sharded_iterative_nlml_return_info(mesh):
+    """Solver-health surfacing works through the mesh-distributed path
+    too: info carries the forward CG's iterations/residual/flag."""
+    from stheno_tpu.parallel import sharded_iterative_nlml
+
+    n = 96
+    x = jnp.linspace(0, 10, n)
+    y = jnp.sin(x)
+    kf = lambda p: jnp.exp(p["log_s2"]) * EQ()
+    val, info = sharded_iterative_nlml(
+        kf, {"log_s2": jnp.asarray(0.1)}, x, y, 0.1,
+        jax.random.PRNGKey(0), mesh,
+        num_probes=4, cg_tol=1e-6, precond_rank=16, block=32,
+        return_info=True,
+    )
+    assert bool(jnp.isfinite(val))
+    assert bool(info["cg_converged"]), info
+    assert int(info["cg_iters"]) >= 1
