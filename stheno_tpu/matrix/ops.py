@@ -1087,7 +1087,9 @@ def logdet(a):
 
 @config.pin_matmul_precision
 def ratio(a, b):
-    """``trace(b^{-1} a)`` (the reference's ``B.ratio``)."""
+    """``trace(b^{-1} a)`` (the reference's ``B.ratio``). Reverse-mode only
+    on the dense-Cholesky branch of ``b`` (see the analytic-VJP note
+    above)."""
     if isinstance(a, Diagonal) and isinstance(b, Diagonal):
         return jnp.sum(a.diag / b.diag, axis=-1)
     if isinstance(b, (Diagonal, Woodbury)):
@@ -1095,11 +1097,47 @@ def ratio(a, b):
     b = as_matrix(b)
     L = cholesky(b)
     a_arr = dense(a) if is_structured(a) else jnp.asarray(a)
-    half = _solve_triangular(L, a_arr, lower=True)
-    half2 = _solve_triangular(
-        L, jnp.swapaxes(half, -1, -2), lower=True
-    )
+    if not isinstance(L, LowerTriangular):
+        half = solve(L, a_arr)
+        half2 = solve(L, jnp.swapaxes(half, -1, -2))
+        return jnp.trace(half2, axis1=-2, axis2=-1)
+    mat, L_arr, Linv = _chol_arrays(b)
+    return _ratio_chol(mat, L_arr, Linv, a_arr)
+
+
+@jax.custom_vjp
+def _ratio_chol(mat, L, Linv, a):
+    half = _half_solve(L, Linv, a)
+    half2 = _half_solve(L, Linv, jnp.swapaxes(half, -1, -2))
     return jnp.trace(half2, axis1=-2, axis2=-1)
+
+
+def _ratio_chol_fwd(mat, L, Linv, a):
+    return _ratio_chol(mat, L, Linv, a), (L, Linv, a)
+
+
+@config.pin_matmul_precision
+def _ratio_chol_bwd(res, g):
+    L, Linv, a = res
+    L, Linv = _barrier_factors(L, Linv)
+    # value = tr(B^{-1} A) (symmetric B): dA = B^{-1}; dB = -B^{-1}A B^{-1}.
+    Binv = _kinv_from_chol(L, Linv)
+    gm = g[..., None, None]
+    a_bar = gm * Binv
+    mat_bar = -gm * jnp.matmul(
+        Binv,
+        jnp.matmul(a, Binv, preferred_element_type=a.dtype),
+        preferred_element_type=a.dtype,
+    )
+    return (
+        mat_bar,
+        jnp.zeros_like(L),
+        None if Linv is None else jnp.zeros_like(Linv),
+        a_bar,
+    )
+
+
+_ratio_chol.defvjp(_ratio_chol_fwd, _ratio_chol_bwd)
 
 
 @config.pin_matmul_precision

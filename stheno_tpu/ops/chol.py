@@ -24,6 +24,15 @@ with the triangular inverse itself computed by the same recursion
 [-L22^{-1} @ L21 @ L11^{-1}, L22^{-1}]]` — two GEMMs per level). Base cases
 fall back to XLA's `cholesky`/`solve_triangular`, which are fine at small n.
 
+Policy note (r3): with the analytic reduction VJPs in ``matrix/ops.py``
+the forward no longer needs the inverse for gradients, so "XLA cholesky
+forward + tri_inv recursion only in the backward" was measured as an
+alternative policy — and rejected: 76.6 vs 58.2 ms at n=8192 and 473 vs
+403 ms at n=16384 end-to-end (the sequential one-column triangular
+solves the iqf forward then needs cost more than the carried inverse
+saves). The carried-inverse fast path remains the differentiated-call
+policy.
+
 Numerics: applying an explicit triangular inverse amplifies error by
 ~cond(L11) relative to a backward-stable triangular solve, which for
 jittered GP Gram matrices in f32 costs a small constant factor in residual

@@ -317,3 +317,26 @@ def test_solve_analytic_vjp_parity():
     eps = 1e-6
     fd = (float(loss(0.7 + eps)) - float(loss(0.7 - eps))) / (2 * eps)
     np.testing.assert_allclose(grads["fast"], fd, rtol=1e-5)
+
+
+def test_ratio_analytic_vjp_parity():
+    """ratio's dense-branch custom VJP (dA = B^{-1}, dB = -B^{-1}A B^{-1})
+    matches finite differences through a KL-style objective, so kl()
+    gradients between dense normals no longer reverse through the
+    factorisation either."""
+    import stheno_tpu.matrix as M
+
+    n = 80
+    r = np.random.RandomState(9)
+    qa = r.randn(n, n)
+    qb = r.randn(n, n)
+
+    def loss(s):
+        A = jnp.asarray(qa @ qa.T) + 2.0 * jnp.eye(n)
+        B = jnp.asarray(qb @ qb.T) + (n + s) * jnp.eye(n)
+        return M.ratio(M.Dense(A * (1.0 + 0.1 * s)), M.Dense(B))
+
+    g = float(jax.grad(loss)(jnp.asarray(0.5)))
+    eps = 1e-6
+    fd = (float(loss(0.5 + eps)) - float(loss(0.5 - eps))) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
