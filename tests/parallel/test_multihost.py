@@ -63,6 +63,48 @@ got = np.asarray(
 )
 # psum over chain adds the two processes' shards elementwise: [0,1]+[10,11].
 np.testing.assert_allclose(got, np.asarray([[10.0], [12.0]]))
+
+# --- Cross-process ITERATIVE path: the row-sharded blocked-Gram matvec
+# and the stochastic NLML, with row blocks split across the process
+# boundary (DCN in production). Every input is replicated-global; the
+# matvec's all_gather and the surrogate's psums ride the 4-device
+# "data" axis spanning both processes.
+jax.config.update("jax_enable_x64", True)
+from stheno_tpu import EQ
+from stheno_tpu.parallel import sharded_iterative_nlml, sharded_kernel_matvec
+
+mesh_d = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+n = 64
+x_np = np.linspace(0.0, 10.0, n)
+v_np = np.sin(np.arange(2 * n, dtype=np.float64)).reshape(n, 2)
+y_np = np.sin(x_np) + 0.05 * np.cos(3.0 * x_np)
+
+
+def rep(a):
+    return mhu.host_local_array_to_global_array(jnp.asarray(a), mesh_d, P())
+
+
+xg, vg_, yg = rep(x_np), rep(v_np), rep(y_np)
+out = jax.jit(
+    lambda x, v: sharded_kernel_matvec(EQ(), x, v, mesh_d, noise=0.1, block=8)
+)(xg, vg_)
+# Dense reference computed locally with numpy.
+d2 = (x_np[:, None] - x_np[None, :]) ** 2
+K = np.exp(-0.5 * d2) + 0.1 * np.eye(n)
+err = float(jnp.linalg.norm(out - jnp.asarray(K @ v_np)))
+assert err < 1e-8, err
+
+kf = lambda p: jnp.exp(p["log_s2"]) * EQ()
+val, info = sharded_iterative_nlml(
+    kf, {"log_s2": jnp.asarray(0.0)}, xg, yg, 0.1, jax.random.PRNGKey(0),
+    mesh_d, num_probes=16, cg_tol=1e-8, precond_rank=16, block=8,
+    return_info=True,
+)
+assert bool(info["cg_converged"]), info
+sign, ld = np.linalg.slogdet(K)
+alpha = np.linalg.solve(K, y_np)
+nlml_ref = 0.5 * (ld + y_np @ alpha + n * np.log(2 * np.pi))
+assert abs(float(val) - nlml_ref) < 1.0, (float(val), nlml_ref)
 print("proc %d OK" % pid, flush=True)
 '''
 
