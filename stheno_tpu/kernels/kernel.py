@@ -39,6 +39,7 @@ __all__ = [
     "Kernel",
     "ZeroKernel",
     "OneKernel",
+    "Coregion",
     "EQ",
     "RQ",
     "Exp",
@@ -534,6 +535,59 @@ class Linear(Kernel):
 
     def __eq__(self, other):
         return isinstance(other, Linear)
+
+    __hash__ = Kernel.__hash__
+
+
+class Coregion(Kernel):
+    """Coregionalization kernel over integer task indices:
+    ``k(i, j) = B[i, j]`` with PSD ``B (tasks, tasks)`` (differentiable
+    w.r.t. ``B``; task indices are rounded and non-differentiable).
+
+    This is the *augmented-input* route to multi-output GPs at scale: with
+    inputs ``(x, task)`` stacked as columns, ``EQ().select([0]) *
+    Coregion(B).select([1])`` is the intrinsic-coregionalization model
+    ``k((x,i),(y,j)) = k_x(x, y) B[i, j]`` — a plain array-input kernel
+    expression, so it flows unchanged through every scaling path the
+    tuple-input ``MultiOutputKernel`` (the reference-parity block form,
+    ``mo/core.py``) cannot reach: the blocked-Gram iterative matvec /
+    CG / SLQ NLML, the mesh-sharded matvecs, and the distributed dense
+    Grams. No reference analogue (mlkernels has no coregion kernel;
+    the reference's multi-output support is the block form only)."""
+
+    def __init__(self, B):
+        self.B = B
+
+    def _indices(self, x):
+        return jnp.round(jax.lax.stop_gradient(x[..., 0])).astype(jnp.int32)
+
+    def _pairwise(self, x, y):
+        B = jnp.asarray(self.B)
+        i = self._indices(x)
+        j = self._indices(y)
+        return Dense(B[i[..., :, None], j[..., None, :]])
+
+    def _elwise(self, x, y):
+        B = jnp.asarray(self.B)
+        return B[self._indices(x), self._indices(y)][..., None]
+
+    def _scalar(self, x, y):
+        # Piecewise-constant in the inputs (zero input-derivative, like
+        # Delta) but differentiable w.r.t. B.
+        B = jnp.asarray(self.B)
+        i = jnp.round(jax.lax.stop_gradient(x[0])).astype(jnp.int32)
+        j = jnp.round(jax.lax.stop_gradient(y[0])).astype(jnp.int32)
+        return B[i, j]
+
+    @property
+    def stationary(self):
+        return False
+
+    def _render(self, formatter):
+        return f"Coregion({formatter(self.B)})"
+
+    def __eq__(self, other):
+        return isinstance(other, Coregion) and _param_eq(self.B, other.B)
 
     __hash__ = Kernel.__hash__
 

@@ -521,3 +521,79 @@ def test_delta_pairwise_exactness_and_memory_layout():
     xb = jnp.asarray(r.randn(2, 4, 3))
     Kb = M.dense(pairwise(Delta(), xb, xb[:, :2]))
     assert Kb.shape == (2, 4, 2)
+
+
+def test_coregion_icm_matches_block_multioutput():
+    """The augmented-input ICM (EQ.select([0]) * Coregion(B).select([1]))
+    equals the explicit block construction B[i,j] * k(x, y), and powers
+    the ITERATIVE NLML — multi-output exact GPs through the matrix-free
+    scaling path, which the tuple-input block form cannot reach."""
+    import jax
+    import numpy as np
+
+    from stheno_tpu import EQ, GP
+    from stheno_tpu.kernels import Coregion
+    from stheno_tpu.matrix import dense
+    from stheno_tpu.kernels import pairwise
+
+    rng = np.random.RandomState(0)
+    t = 3
+    a = rng.randn(t, t)
+    B = jnp.asarray(a @ a.T + t * np.eye(t))
+    nx = 20
+    x = jnp.asarray(np.sort(rng.rand(nx)) * 5)
+
+    # Augmented inputs: every (x, task) pair.
+    tasks = jnp.arange(t, dtype=x.dtype)
+    xa = jnp.stack(
+        [jnp.repeat(x, t), jnp.tile(tasks, nx)], axis=1
+    )  # (nx*t, 2)
+    k_icm = EQ().select([0]) * Coregion(B).select([1])
+    K_icm = np.asarray(dense(pairwise(k_icm, xa)))
+
+    # Explicit reference: K[(p,i),(q,j)] = EQ(x_p, x_q) * B[i, j].
+    Kx = np.asarray(dense(pairwise(EQ(), x[:, None])))
+    K_ref = np.kron(Kx, np.asarray(B))
+    np.testing.assert_allclose(K_icm, K_ref, rtol=1e-10, atol=1e-12)
+
+    # Elwise diagonal agrees too.
+    from stheno_tpu.kernels import elwise
+
+    np.testing.assert_allclose(
+        np.asarray(dense(elwise(k_icm, xa)))[:, 0], np.diag(K_ref), rtol=1e-10
+    )
+
+    # Multi-output NLML through the ITERATIVE path vs the dense DSL.
+    from stheno_tpu.iterative import iterative_nlml
+
+    y = jnp.asarray(rng.randn(nx * t))
+
+    def kf(p):
+        L = p["chol_B"]
+        return EQ().select([0]) * Coregion(L @ L.T).select([1])
+
+    params = {"chol_B": jnp.asarray(np.linalg.cholesky(np.asarray(B)))}
+
+    def nlml_it(params):
+        return iterative_nlml(
+            kf, params, xa, y, 0.1, jax.random.PRNGKey(0),
+            num_probes=24, cg_tol=1e-9, slq_steps=40, precond_rank=30,
+            block=16,
+        )
+
+    def nlml_dense(params):
+        f = GP(kf(params))
+        return -f.measure.logpdf(f(xa, 0.1), y)
+
+    v_it = float(nlml_it(params))
+    v_d = float(nlml_dense(params))
+    assert abs(v_it - v_d) < 1.0, (v_it, v_d)
+
+    # Gradients w.r.t. the coregionalization factor flow (B-differentiable)
+    # and agree with the dense path within stochastic tolerance.
+    g_it = jax.grad(nlml_it)(params)["chol_B"]
+    g_d = jax.grad(nlml_dense)(params)["chol_B"]
+    assert np.all(np.isfinite(np.asarray(g_it)))
+    np.testing.assert_allclose(
+        np.asarray(g_it), np.asarray(g_d), rtol=0.3, atol=0.6
+    )
