@@ -561,15 +561,35 @@ class Coregion(Kernel):
     def _indices(self, x):
         return jnp.round(jax.lax.stop_gradient(x[..., 0])).astype(jnp.int32)
 
+    def _onehot(self, x, t):
+        # One-hot + thin GEMMs instead of a per-element gather: B[i, j] as
+        # onehot(i) @ B @ onehot(j)^T maps onto the MXU (gathers lower to
+        # scalar loads on TPU), and keeps the whole tile differentiable
+        # w.r.t. B as plain matmul adjoints.
+        return jax.nn.one_hot(self._indices(x), t, dtype=x.dtype)
+
     def _pairwise(self, x, y):
         B = jnp.asarray(self.B)
-        i = self._indices(x)
-        j = self._indices(y)
-        return Dense(B[i[..., :, None], j[..., None, :]])
+        t = B.shape[-1]
+        hi = self._onehot(x, t)
+        hj = self._onehot(y, t)
+        return Dense(
+            jnp.matmul(
+                jnp.matmul(hi, B, preferred_element_type=x.dtype),
+                jnp.swapaxes(hj, -1, -2),
+                preferred_element_type=x.dtype,
+            )
+        )
 
     def _elwise(self, x, y):
         B = jnp.asarray(self.B)
-        return B[self._indices(x), self._indices(y)][..., None]
+        t = B.shape[-1]
+        hi = self._onehot(x, t)
+        hj = self._onehot(y, t)
+        return jnp.sum(
+            jnp.matmul(hi, B, preferred_element_type=x.dtype) * hj,
+            axis=-1, keepdims=True,
+        )
 
     def _scalar(self, x, y):
         # Piecewise-constant in the inputs (zero input-derivative, like
