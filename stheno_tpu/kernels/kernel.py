@@ -544,6 +544,11 @@ class Coregion(Kernel):
     ``k(i, j) = B[i, j]`` with PSD ``B (tasks, tasks)`` (differentiable
     w.r.t. ``B``; task indices are rounded and non-differentiable).
 
+    Task indices are rounded and CLIPPED to ``[0, tasks-1]`` — identically
+    in the Gram, elwise, and scalar paths (out-of-range indices are a
+    modelling error; clipping keeps the three evaluation paths consistent
+    instead of the Gram silently zeroing while the scalar path clamps).
+
     This is the *augmented-input* route to multi-output GPs at scale: with
     inputs ``(x, task)`` stacked as columns, ``EQ().select([0]) *
     Coregion(B).select([1])`` is the intrinsic-coregionalization model
@@ -558,15 +563,16 @@ class Coregion(Kernel):
     def __init__(self, B):
         self.B = B
 
-    def _indices(self, x):
-        return jnp.round(jax.lax.stop_gradient(x[..., 0])).astype(jnp.int32)
+    def _indices(self, x, t):
+        i = jnp.round(jax.lax.stop_gradient(x[..., 0])).astype(jnp.int32)
+        return jnp.clip(i, 0, t - 1)
 
     def _onehot(self, x, t):
         # One-hot + thin GEMMs instead of a per-element gather: B[i, j] as
         # onehot(i) @ B @ onehot(j)^T maps onto the MXU (gathers lower to
         # scalar loads on TPU), and keeps the whole tile differentiable
         # w.r.t. B as plain matmul adjoints.
-        return jax.nn.one_hot(self._indices(x), t, dtype=x.dtype)
+        return jax.nn.one_hot(self._indices(x, t), t, dtype=x.dtype)
 
     def _pairwise(self, x, y):
         B = jnp.asarray(self.B)
@@ -593,10 +599,16 @@ class Coregion(Kernel):
 
     def _scalar(self, x, y):
         # Piecewise-constant in the inputs (zero input-derivative, like
-        # Delta) but differentiable w.r.t. B.
+        # Delta) but differentiable w.r.t. B. Same round-and-clip as the
+        # Gram/elwise paths.
         B = jnp.asarray(self.B)
-        i = jnp.round(jax.lax.stop_gradient(x[0])).astype(jnp.int32)
-        j = jnp.round(jax.lax.stop_gradient(y[0])).astype(jnp.int32)
+        t = B.shape[-1]
+        i = jnp.clip(
+            jnp.round(jax.lax.stop_gradient(x[0])).astype(jnp.int32), 0, t - 1
+        )
+        j = jnp.clip(
+            jnp.round(jax.lax.stop_gradient(y[0])).astype(jnp.int32), 0, t - 1
+        )
         return B[i, j]
 
     @property

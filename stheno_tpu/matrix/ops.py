@@ -682,7 +682,8 @@ def solve(a, b):
     """``a^{-1} b``. Triangular matrices use triangular solves; Diagonal and
     Woodbury use closed forms; otherwise solve via the (cached) Cholesky.
     A 1-D ``b`` is treated as a single column and returned 1-D (matching
-    ``matmul``'s vector semantics)."""
+    ``matmul``'s vector semantics). Reverse-mode only on the dense-Cholesky
+    branch (see the analytic-VJP note above)."""
     if not is_structured(b):
         b_arr = jnp.asarray(b)
         if b_arr.ndim == 1:
@@ -812,6 +813,15 @@ def _chol_arrays(a):
     )
 
 
+def _sym_cotangent(M):
+    """Symmetrise a matrix cotangent: the dense primals factor the
+    symmetric part of their input (Cholesky), so the elementwise-correct
+    adjoint is the symmetric projection — without it, gradients w.r.t.
+    FREE-FORM (non-symmetric-constrained) matrix entries are wrong per
+    element even though symmetric-builder (Gram) gradients coincide."""
+    return 0.5 * (M + jnp.swapaxes(M, -1, -2))
+
+
 def _barrier_factors(L, Linv):
     """``lax.optimization_barrier`` around the saved factors before the
     backward formulas consume them. Measured necessity (v5e, r3): without
@@ -912,8 +922,10 @@ def _iqf_diag_chol_bwd(res, g):
     ab = _chol_apply_inv(L, Linv, b)
     ac = ab if c is b else _chol_apply_inv(L, Linv, c)
     gb = g[..., None, :]
-    mat_bar = -jnp.matmul(
-        ab * gb, jnp.swapaxes(ac, -1, -2), preferred_element_type=b.dtype
+    mat_bar = -_sym_cotangent(
+        jnp.matmul(
+            ab * gb, jnp.swapaxes(ac, -1, -2), preferred_element_type=b.dtype
+        )
     )
     return (
         mat_bar,
@@ -948,8 +960,10 @@ def _iqf_chol_bwd(res, g):
     ac = ab if c is b else _chol_apply_inv(L, Linv, c)
     # value = b^T A^{-1} c; dA = -A^{-1} b g c^T A^{-1} (symmetric A).
     ab_g = jnp.matmul(ab, g, preferred_element_type=b.dtype)
-    mat_bar = -jnp.matmul(
-        ab_g, jnp.swapaxes(ac, -1, -2), preferred_element_type=b.dtype
+    mat_bar = -_sym_cotangent(
+        jnp.matmul(
+            ab_g, jnp.swapaxes(ac, -1, -2), preferred_element_type=b.dtype
+        )
     )
     b_bar = jnp.matmul(
         ac, jnp.swapaxes(g, -1, -2), preferred_element_type=b.dtype
@@ -981,10 +995,13 @@ def _solve_chol_fwd(mat, L, Linv, b):
 def _solve_chol_bwd(res, g):
     L, Linv, x = res
     L, Linv = _barrier_factors(L, Linv)
-    # x = A^{-1} b (symmetric A): bbar = A^{-1} g; Abar = -bbar x^T.
+    # x = A^{-1} b: bbar = A^{-1} g; Abar = -sym(bbar x^T) (the primal
+    # factors the symmetric part of A, so the adjoint is symmetrised).
     b_bar = _chol_apply_inv(L, Linv, g)
-    mat_bar = -jnp.matmul(
-        b_bar, jnp.swapaxes(x, -1, -2), preferred_element_type=x.dtype
+    mat_bar = -_sym_cotangent(
+        jnp.matmul(
+            b_bar, jnp.swapaxes(x, -1, -2), preferred_element_type=x.dtype
+        )
     )
     return (
         mat_bar,
@@ -1120,13 +1137,15 @@ def _ratio_chol_fwd(mat, L, Linv, a):
 def _ratio_chol_bwd(res, g):
     L, Linv, a = res
     L, Linv = _barrier_factors(L, Linv)
-    # value = tr(B^{-1} A) (symmetric B): dA = B^{-1}; dB = -B^{-1}A B^{-1}.
+    # value = tr(B^{-1} A): dA = B^{-1} (already symmetric); dB =
+    # -sym(B^{-1} A B^{-1}) — symmetrised via sym(A) because the primal
+    # factors B's symmetric part (elementwise-correct for free-form A).
     Binv = _kinv_from_chol(L, Linv)
     gm = g[..., None, None]
     a_bar = gm * Binv
     mat_bar = -gm * jnp.matmul(
         Binv,
-        jnp.matmul(a, Binv, preferred_element_type=a.dtype),
+        jnp.matmul(_sym_cotangent(a), Binv, preferred_element_type=a.dtype),
         preferred_element_type=a.dtype,
     )
     return (

@@ -597,3 +597,25 @@ def test_coregion_icm_matches_block_multioutput():
     np.testing.assert_allclose(
         np.asarray(g_it), np.asarray(g_d), rtol=0.3, atol=0.6
     )
+
+
+def test_coregion_out_of_range_indices_clip_consistently():
+    """Out-of-range/negative task indices clip to the valid range in ALL
+    three evaluation paths (Gram, elwise, scalar) — never a silent zero
+    row in one path and a clamped value in another."""
+    from stheno_tpu.kernels import Coregion, pairwise, elwise
+    from stheno_tpu.matrix import dense
+
+    B = jnp.asarray([[1.0, 0.5], [0.5, 2.0]])
+    k = Coregion(B)
+    xa = jnp.asarray([[0.0], [1.0], [2.0], [-1.0]])  # 2.0/-1.0 out of range.
+    K = np.asarray(dense(pairwise(k, xa)))
+    # Clipped: 2.0 -> task 1, -1.0 -> task 0.
+    exp_idx = [0, 1, 1, 0]
+    expected = np.asarray(B)[np.ix_(exp_idx, exp_idx)]
+    np.testing.assert_allclose(K, expected, rtol=1e-12)
+    ew = np.asarray(dense(elwise(k, xa)))[:, 0]
+    np.testing.assert_allclose(ew, np.diag(expected), rtol=1e-12)
+    for v, idx in zip(np.asarray(xa)[:, 0], exp_idx):
+        s = float(k._scalar(jnp.asarray([v]), jnp.asarray([v])))
+        np.testing.assert_allclose(s, float(B[idx, idx]), rtol=1e-12)

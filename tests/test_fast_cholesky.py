@@ -340,3 +340,38 @@ def test_ratio_analytic_vjp_parity():
     eps = 1e-6
     fd = (float(loss(0.5 + eps)) - float(loss(0.5 - eps))) / (2 * eps)
     np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_matrix_cotangents_symmetrised_freeform_entries():
+    """Gradients of the dense reductions w.r.t. FREE-FORM matrix entries
+    match central differences per element (review r3: the unsymmetrised
+    adjoints were elementwise wrong off the diagonal for solve/ratio and
+    for iqf with b != c, even though symmetric-builder gradients agreed)."""
+    import stheno_tpu.matrix as M
+
+    n = 10
+    r = np.random.RandomState(11)
+    q = r.randn(n, n)
+    A0 = jnp.asarray(q @ q.T + n * np.eye(n))
+    b = jnp.asarray(r.randn(n, 2))
+    c = jnp.asarray(r.randn(n, 2))
+    Araw = jnp.asarray(r.randn(n, n))  # Non-symmetric operand for ratio.
+    w = jnp.asarray(r.randn(n, 2))
+
+    cases = {
+        "solve": lambda A: jnp.sum(M.solve(M.Dense(A), b) * w),
+        "iqf_bc": lambda A: jnp.sum(jnp.asarray(M.dense(M.iqf(M.Dense(A), b, c)))),
+        "iqf_diag": lambda A: jnp.sum(M.iqf_diag(M.Dense(A), b, c)),
+        "logdet": lambda A: M.logdet(M.Dense(A)),
+        "ratio": lambda A: M.ratio(M.Dense(Araw), M.Dense(A)),
+    }
+    for name, f in cases.items():
+        G = np.asarray(jax.grad(f)(A0))
+        eps = 1e-6
+        for (i, j) in [(2, 5), (5, 2), (0, 7), (3, 3)]:
+            E = jnp.zeros((n, n)).at[i, j].set(eps)
+            fd = (float(f(A0 + E)) - float(f(A0 - E))) / (2 * eps)
+            np.testing.assert_allclose(
+                G[i, j], fd, rtol=2e-4, atol=1e-8,
+                err_msg=f"{name} d/dA[{i},{j}]",
+            )
