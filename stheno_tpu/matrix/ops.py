@@ -912,7 +912,14 @@ def _iqf_diag_chol(mat, L, Linv, b, c):
 
 
 def _iqf_diag_chol_fwd(mat, L, Linv, b, c):
-    return _iqf_diag_chol(mat, L, Linv, b, c), (L, Linv, b, c)
+    # Residual structure encodes the symmetric case statically: when the
+    # operands are the SAME tracer (iqf of b with itself — the NLML path),
+    # store None for c so the backward both reuses the single solve and
+    # skips the symmetric projection (the rank-structured outer product
+    # is already symmetric there).
+    return _iqf_diag_chol(mat, L, Linv, b, c), (
+        L, Linv, b, None if c is b else c
+    )
 
 
 @config.pin_matmul_precision
@@ -920,8 +927,20 @@ def _iqf_diag_chol_bwd(res, g):
     L, Linv, b, c = res
     L, Linv = _barrier_factors(L, Linv)
     ab = _chol_apply_inv(L, Linv, b)
-    ac = ab if c is b else _chol_apply_inv(L, Linv, c)
     gb = g[..., None, :]
+    if c is None:
+        mat_bar = -jnp.matmul(
+            ab * gb, jnp.swapaxes(ab, -1, -2), preferred_element_type=b.dtype
+        )
+        bc_bar = ab * gb
+        return (
+            mat_bar,
+            jnp.zeros_like(L),
+            None if Linv is None else jnp.zeros_like(Linv),
+            bc_bar,
+            bc_bar,
+        )
+    ac = _chol_apply_inv(L, Linv, c)
     mat_bar = -_sym_cotangent(
         jnp.matmul(
             ab * gb, jnp.swapaxes(ac, -1, -2), preferred_element_type=b.dtype
@@ -949,7 +968,9 @@ def _iqf_chol(mat, L, Linv, b, c):
 
 
 def _iqf_chol_fwd(mat, L, Linv, b, c):
-    return _iqf_chol(mat, L, Linv, b, c), (L, Linv, b, c)
+    return _iqf_chol(mat, L, Linv, b, c), (
+        L, Linv, b, None if c is b else c
+    )
 
 
 @config.pin_matmul_precision
@@ -957,14 +978,24 @@ def _iqf_chol_bwd(res, g):
     L, Linv, b, c = res
     L, Linv = _barrier_factors(L, Linv)
     ab = _chol_apply_inv(L, Linv, b)
-    ac = ab if c is b else _chol_apply_inv(L, Linv, c)
+    sym_case = c is None
+    ac = ab if sym_case else _chol_apply_inv(L, Linv, c)
     # value = b^T A^{-1} c; dA = -A^{-1} b g c^T A^{-1} (symmetric A).
     ab_g = jnp.matmul(ab, g, preferred_element_type=b.dtype)
-    mat_bar = -_sym_cotangent(
-        jnp.matmul(
-            ab_g, jnp.swapaxes(ac, -1, -2), preferred_element_type=b.dtype
+    if sym_case:
+        # b == c: sym(ab G ab^T) == ab sym(G) ab^T — project the small
+        # (m x m) cotangent instead of the (n x n) product.
+        mat_bar = -jnp.matmul(
+            jnp.matmul(ab, _sym_cotangent(g), preferred_element_type=b.dtype),
+            jnp.swapaxes(ab, -1, -2),
+            preferred_element_type=b.dtype,
         )
-    )
+    else:
+        mat_bar = -_sym_cotangent(
+            jnp.matmul(
+                ab_g, jnp.swapaxes(ac, -1, -2), preferred_element_type=b.dtype
+            )
+        )
     b_bar = jnp.matmul(
         ac, jnp.swapaxes(g, -1, -2), preferred_element_type=b.dtype
     )
