@@ -1,4 +1,5 @@
 from .checkpoint import load_pytree, load_vars, save_pytree, save_vars
+from .comm import collective_traffic
 from .monitor import StepMetrics, exact_gp_flops, trace
 from .resilience import resumable_minimise
 
@@ -11,4 +12,5 @@ __all__ = [
     "StepMetrics",
     "exact_gp_flops",
     "trace",
+    "collective_traffic",
 ]
