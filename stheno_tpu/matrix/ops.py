@@ -682,8 +682,9 @@ def solve(a, b):
     """``a^{-1} b``. Triangular matrices use triangular solves; Diagonal and
     Woodbury use closed forms; otherwise solve via the (cached) Cholesky.
     A 1-D ``b`` is treated as a single column and returned 1-D (matching
-    ``matmul``'s vector semantics). Reverse-mode only on the dense-Cholesky
-    branch (see the analytic-VJP note above)."""
+    ``matmul``'s vector semantics). The dense-Cholesky branch carries an
+    analytic ``custom_vjp``; forward mode falls back to the plain body
+    (see the analytic-VJP note above)."""
     if not is_structured(b):
         b_arr = jnp.asarray(b)
         if b_arr.ndim == 1:
@@ -716,16 +717,15 @@ def solve(a, b):
         a = as_matrix(a)
     L = cholesky(a)
     if isinstance(L, LowerTriangular):
-        mat, L_arr, Linv = _chol_arrays(a)
         b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
-        if b_arr.ndim != L_arr.ndim:
+        if b_arr.ndim != dense(a).ndim:
             # Batched factor against unbatched RHS (or vice versa): keep
             # the transparent-autodiff path for the broadcasty cases.
             y = _solve_triangular(L, b, lower=True)
             return jax.scipy.linalg.solve_triangular(
                 L.mat, y, lower=True, trans="T"
             )
-        return _solve_chol(mat, L_arr, Linv, b_arr)
+        return _fwd_fallback_call(_solve_chol, _solve_chol_body, a, b_arr)
     # Structured factor (e.g. Kronecker of triangulars): recurse.
     return solve(transpose(L), solve(L, b))
 
@@ -787,9 +787,12 @@ def _as_col_operand(b):
 #   under differentiation.
 # - The adjoint uses the symmetric convention dA logdet = A^{-1} (what
 #   ``slogdet`` uses), exact for the symmetric Grams these paths factor.
-# - Like every ``jax.custom_vjp``, forward-mode (jvp/jacfwd) through these
-#   reductions is unsupported; use reverse mode (the library and reference
-#   only ever reverse-differentiate them).
+# - Forward mode (jvp/jacfwd/hessian) cannot pass through a
+#   ``jax.custom_vjp`` call; each reduction therefore catches the
+#   trace-time TypeError and re-runs its plain body (standard autodiff,
+#   tangents flow mat -> L -> value through the differentiable
+#   factorisation), so jacfwd/hessian of an NLML keep working — they just
+#   don't get the analytic adjoints (r3 advisor finding).
 # - The adaptive-jitter probe's dependence on A is deliberately not
 #   differentiated (the jitter is a numerical device, not model structure).
 
@@ -874,9 +877,39 @@ def _chol_apply_inv(L, Linv, b):
     return jax.scipy.linalg.solve_triangular(L, half, lower=True, trans="T")
 
 
-@jax.custom_vjp
-def _logdet_chol(mat, L, Linv):
+def _chol_arrays_nostop(a):
+    """Like :func:`_chol_arrays` but WITHOUT the stop-gradients: used by
+    the forward-mode fallback, whose tangents flow ``a -> L -> value``
+    through the differentiable factorisation instead of an analytic rule."""
+    mat = dense(a)
+    L = cholesky(a)
+    inv = getattr(L, "_cache", {}).get("inv")
+    return mat, L.mat, inv
+
+
+def _fwd_fallback_call(custom_fn, body_fn, a, *operands):
+    """Call a dense Cholesky-backed reduction, restoring forward mode.
+
+    ``jax.custom_vjp`` rejects jvp tracing with a TypeError at the call
+    boundary (trace time). Catch exactly that case and re-run the plain
+    body on NON-stop-gradiented factors (the custom path's factors are
+    stopped because its analytic VJP routes the whole cotangent through
+    ``mat``), so jacfwd/jvp/hessian give correct forward derivatives —
+    only the analytic reverse adjoint is bypassed."""
+    try:
+        return custom_fn(*_chol_arrays(a), *operands)
+    except TypeError as e:
+        msg = str(e)
+        if "jvp" not in msg and "forward-mode" not in msg:
+            raise
+        return body_fn(*_chol_arrays_nostop(a), *operands)
+
+
+def _logdet_chol_body(mat, L, Linv):
     return 2 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+
+
+_logdet_chol = jax.custom_vjp(_logdet_chol_body)
 
 
 def _logdet_chol_fwd(mat, L, Linv):
@@ -904,11 +937,13 @@ def _half_solve(L, Linv, b):
     return jax.scipy.linalg.solve_triangular(L, b, lower=True)
 
 
-@jax.custom_vjp
-def _iqf_diag_chol(mat, L, Linv, b, c):
+def _iqf_diag_chol_body(mat, L, Linv, b, c):
     lb = _half_solve(L, Linv, b)
     lc = lb if c is b else _half_solve(L, Linv, c)
     return jnp.sum(lb * lc, axis=-2)
+
+
+_iqf_diag_chol = jax.custom_vjp(_iqf_diag_chol_body)
 
 
 def _iqf_diag_chol_fwd(mat, L, Linv, b, c):
@@ -958,13 +993,15 @@ def _iqf_diag_chol_bwd(res, g):
 _iqf_diag_chol.defvjp(_iqf_diag_chol_fwd, _iqf_diag_chol_bwd)
 
 
-@jax.custom_vjp
-def _iqf_chol(mat, L, Linv, b, c):
+def _iqf_chol_body(mat, L, Linv, b, c):
     lb = _half_solve(L, Linv, b)
     lc = lb if c is b else _half_solve(L, Linv, c)
     return jnp.matmul(
         jnp.swapaxes(lb, -1, -2), lc, preferred_element_type=b.dtype
     )
+
+
+_iqf_chol = jax.custom_vjp(_iqf_chol_body)
 
 
 def _iqf_chol_fwd(mat, L, Linv, b, c):
@@ -1012,9 +1049,11 @@ def _iqf_chol_bwd(res, g):
 _iqf_chol.defvjp(_iqf_chol_fwd, _iqf_chol_bwd)
 
 
-@jax.custom_vjp
-def _solve_chol(mat, L, Linv, b):
+def _solve_chol_body(mat, L, Linv, b):
     return _chol_apply_inv(L, Linv, b)
+
+
+_solve_chol = jax.custom_vjp(_solve_chol_body)
 
 
 def _solve_chol_fwd(mat, L, Linv, b):
@@ -1045,14 +1084,13 @@ def _solve_chol_bwd(res, g):
 _solve_chol.defvjp(_solve_chol_fwd, _solve_chol_bwd)
 
 
+@config.pin_matmul_precision
 def iqf(a, b, c=None):
     """Inner quadratic form ``b^T a^{-1} c`` (``c`` defaults to ``b``),
     matching the reference's ``B.iqf``. 1-D operands are treated as single
-    columns (result ``(1, 1)``).
-
-    Reverse-mode only on the dense-Cholesky branch (analytic
-    ``custom_vjp``; ``jvp``/``jacfwd``/``hessian`` raise — see the
-    analytic-VJP note above)."""
+    columns (result ``(1, 1)``). The dense-Cholesky branch carries an
+    analytic ``custom_vjp``; forward mode falls back to the plain body
+    (see the analytic-VJP note above)."""
     b = _as_col_operand(b)
     if c is None:
         c = b
@@ -1071,17 +1109,17 @@ def iqf(a, b, c=None):
         lb = solve(L, dense(b) if is_structured(b) else jnp.asarray(b))
         lc = lb if c is b else solve(L, dense(c) if is_structured(c) else jnp.asarray(c))
         return Dense(jnp.matmul(jnp.swapaxes(lb, -1, -2), lc))
-    mat, L_arr, Linv = _chol_arrays(a)
     b_arr = dense(b) if is_structured(b) else jnp.asarray(b)
     c_arr = b_arr if c is b else (dense(c) if is_structured(c) else jnp.asarray(c))
-    return Dense(_iqf_chol(mat, L_arr, Linv, b_arr, c_arr))
+    return Dense(_fwd_fallback_call(_iqf_chol, _iqf_chol_body, a, b_arr, c_arr))
 
 
 @config.pin_matmul_precision
 def iqf_diag(a, b, c=None):
     """``diag(b^T a^{-1} c)`` as a vector ``(..., m)``. 1-D operands are
-    treated as single columns (result ``(1,)``). Reverse-mode only on the
-    dense-Cholesky branch (see the analytic-VJP note above)."""
+    treated as single columns (result ``(1,)``). The dense-Cholesky branch
+    carries an analytic ``custom_vjp``; forward mode falls back to the
+    plain body (see the analytic-VJP note above)."""
     b = _as_col_operand(b)
     if c is None:
         c = b
@@ -1096,16 +1134,16 @@ def iqf_diag(a, b, c=None):
         lb = solve(L, b_arr)
         lc = lb if c is b else solve(L, dense(c) if is_structured(c) else jnp.asarray(c))
         return jnp.sum(lb * lc, axis=-2)
-    mat, L_arr, Linv = _chol_arrays(a)
     c_arr = b_arr if c is b else (dense(c) if is_structured(c) else jnp.asarray(c))
-    return _iqf_diag_chol(mat, L_arr, Linv, b_arr, c_arr)
+    return _fwd_fallback_call(_iqf_diag_chol, _iqf_diag_chol_body, a, b_arr, c_arr)
 
 
 @config.pin_matmul_precision
 def logdet(a):
     """Log-determinant. Woodbury uses the matrix-determinant lemma so e.g.
-    Bayesian linear regression stays O(N r^2). Reverse-mode only on the
-    dense-Cholesky branch (see the analytic-VJP note above)."""
+    Bayesian linear regression stays O(N r^2). The dense-Cholesky branch
+    carries an analytic ``custom_vjp``; forward mode falls back to the
+    plain body (see the analytic-VJP note above)."""
     if isinstance(a, Diagonal):
         return jnp.sum(jnp.log(a.diag), axis=-1)
     if isinstance(a, Woodbury):
@@ -1129,15 +1167,14 @@ def logdet(a):
     L = cholesky(a)
     if not isinstance(L, LowerTriangular):
         return 2 * jnp.sum(jnp.log(diag_of(L)), axis=-1)
-    mat, L_arr, Linv = _chol_arrays(a)
-    return _logdet_chol(mat, L_arr, Linv)
+    return _fwd_fallback_call(_logdet_chol, _logdet_chol_body, a)
 
 
 @config.pin_matmul_precision
 def ratio(a, b):
-    """``trace(b^{-1} a)`` (the reference's ``B.ratio``). Reverse-mode only
-    on the dense-Cholesky branch of ``b`` (see the analytic-VJP note
-    above)."""
+    """``trace(b^{-1} a)`` (the reference's ``B.ratio``). The dense-Cholesky
+    branch of ``b`` carries an analytic ``custom_vjp``; forward mode falls
+    back to the plain body (see the analytic-VJP note above)."""
     if isinstance(a, Diagonal) and isinstance(b, Diagonal):
         return jnp.sum(a.diag / b.diag, axis=-1)
     if isinstance(b, (Diagonal, Woodbury)):
@@ -1149,15 +1186,16 @@ def ratio(a, b):
         half = solve(L, a_arr)
         half2 = solve(L, jnp.swapaxes(half, -1, -2))
         return jnp.trace(half2, axis1=-2, axis2=-1)
-    mat, L_arr, Linv = _chol_arrays(b)
-    return _ratio_chol(mat, L_arr, Linv, a_arr)
+    return _fwd_fallback_call(_ratio_chol, _ratio_chol_body, b, a_arr)
 
 
-@jax.custom_vjp
-def _ratio_chol(mat, L, Linv, a):
+def _ratio_chol_body(mat, L, Linv, a):
     half = _half_solve(L, Linv, a)
     half2 = _half_solve(L, Linv, jnp.swapaxes(half, -1, -2))
     return jnp.trace(half2, axis1=-2, axis2=-1)
+
+
+_ratio_chol = jax.custom_vjp(_ratio_chol_body)
 
 
 def _ratio_chol_fwd(mat, L, Linv, a):

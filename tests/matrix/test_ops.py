@@ -432,3 +432,42 @@ def test_cholesky_triangular_not_identity():
     T = M.LowerTriangular(jnp.asarray([[4.0, 0.0], [1.0, -3.0]]))
     L = M.dense(M.cholesky(T))
     assert not np.allclose(np.asarray(L), np.asarray(M.dense(T)))
+
+
+def test_forward_mode_falls_back_through_dense_reductions():
+    """jacfwd/jvp through the dense Cholesky-backed reductions works: the
+    custom_vjp boundary is bypassed by the plain body under forward-mode
+    tracing (r3 advisor finding — previously a TypeError), and forward and
+    reverse derivatives agree."""
+    import stheno_tpu.matrix.ops as ops
+
+    rng = np.random.RandomState(0)
+    n, m = 6, 2
+    A0 = rng.randn(n, n)
+    A0 = A0 @ A0.T + n * np.eye(n)
+    A0 = jnp.asarray(A0)
+    b = jnp.asarray(rng.randn(n, m))
+    C = jnp.asarray(rng.randn(n, n))
+
+    funcs = {
+        "logdet": lambda s: ops.logdet(ops.as_matrix(s * A0)),
+        "iqf": lambda s: jnp.sum(
+            ops.dense(ops.iqf(ops.as_matrix(s * A0), b))
+        ),
+        "iqf_diag": lambda s: jnp.sum(
+            ops.iqf_diag(ops.as_matrix(s * A0), b)
+        ),
+        "solve": lambda s: jnp.sum(ops.solve(ops.as_matrix(s * A0), b)),
+        "ratio": lambda s: ops.ratio(C, ops.as_matrix(s * A0)),
+    }
+    s0 = jnp.asarray(1.3)
+    for name, f in funcs.items():
+        fwd = jax.jacfwd(f)(s0)
+        rev = jax.grad(f)(s0)
+        np.testing.assert_allclose(
+            np.asarray(fwd), np.asarray(rev), rtol=1e-9, err_msg=name
+        )
+    # Second derivatives (fwd-over-rev, the hessian composition) work too.
+    hess = jax.hessian(funcs["logdet"])(s0)
+    # d^2/ds^2 logdet(s A) = d/ds (n / s) = -n / s^2.
+    np.testing.assert_allclose(float(hess), -n / float(s0) ** 2, rtol=1e-9)

@@ -130,3 +130,32 @@ def test_checkpoint_treedef_mismatch_raises(tmp_path):
     # Same leaf count, different structure: loud error.
     with pytest.raises(ValueError, match="structure"):
         load_pytree(path, {"a": (jnp.asarray(0.0), jnp.asarray(0.0))})
+
+
+def test_checkpoint_treedef_repr_drift_warns_but_loads(tmp_path):
+    """A treedef *repr* mismatch with identical leaf key paths (what a
+    JAX/optax version change produces) warns and loads instead of
+    hard-rejecting (r3 advisor finding); strict=True restores the raise."""
+    import json
+
+    import numpy as onp
+
+    from stheno_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    path = str(tmp_path / "ck.npz")
+    save_pytree(path, {"a": jnp.asarray(1.0), "b": jnp.asarray(2.0)})
+    # Simulate a dependency changing the treedef repr: rewrite the stored
+    # repr text while leaving leaves and key paths untouched.
+    with onp.load(path) as data:
+        arrays = {k: data[k] for k in data.files}
+    arrays["__treedef__"] = onp.frombuffer(
+        json.dumps("PyTreeDef({'a': *, 'b': *}, renamed-by-upgrade)").encode(),
+        dtype=onp.uint8,
+    )
+    onp.savez(path, **arrays)
+    template = {"a": jnp.asarray(0.0), "b": jnp.asarray(0.0)}
+    with pytest.warns(UserWarning, match="repr"):
+        out = load_pytree(path, template)
+    assert float(out["a"]) == 1.0 and float(out["b"]) == 2.0
+    with pytest.raises(ValueError, match="repr"):
+        load_pytree(path, template, strict=True)
