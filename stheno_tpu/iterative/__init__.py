@@ -14,6 +14,7 @@ from .pchol import (
     woodbury_preconditioner,
 )
 from .slq import lanczos, slq_logdet
+from .variance import VarianceCache, cached_posterior_var, variance_cache
 from .toeplitz import (
     circulant_spectrum,
     grid_coords,
@@ -41,6 +42,9 @@ __all__ = [
     "eig_preconditioner_factors",
     "eig_preconditioner_ops",
     "make_whitened_solver",
+    "VarianceCache",
+    "variance_cache",
+    "cached_posterior_var",
     "lanczos",
     "slq_logdet",
     "circulant_spectrum",

@@ -1,0 +1,244 @@
+"""Amortised (LOVE-style) posterior variance for matrix-free GPs.
+
+The chunked CG path (``nlml.iterative_posterior_var``) re-runs a full
+whitened CG against all N training points for every 512-column chunk of
+test points — exact, but ~19 ms/point at N = 262,144 (r3 bench: 38.4 s
+for 2,048 points). This module amortises the Krylov work into a one-time
+cache so per-point variance is O(N (d + r)) GEMV work shared across ALL
+test points, jit-composable end-to-end (no host loop):
+
+    reduction(x*) = k_*^T (K + s2 I)^{-1} k_*
+
+is evaluated by splitting ``k_* = U c + e`` over an orthonormal rank-``r``
+basis ``U`` of the dominant eigenspace of ``K`` (the library's
+subspace-iteration eig basis, ``pchol.eig_preconditioner_factors`` — the
+same object the NLML preconditioner uses) with ``c = U^T k_*``:
+
+    reduction = 2 k_*^T S c - c^T M c + e^T e / (s2 + tau),
+
+where ``S = (K + s2 I)^{-1} U`` and ``M = U^T S`` are the cache. The first
+two terms are EXACT for the component of ``k_*`` in ``span(U)`` (S is
+solved by warm-started whitened CG); the out-of-span residual ``e`` is
+handled spectrally: on the orthogonal complement of the dominant
+eigenspace ``K``'s spectrum lies in ``[0, tau]`` with ``tau = lam_min`` of
+the captured Ritz values, so ``e^T (K + s2 I)^{-1} e`` is bracketed by
+``e^T e / (s2 + tau)`` (used: never overstates the reduction, so the
+variance estimate errs on the side of NOT being overconfident) and
+``e^T e / s2``. For smooth kernels the spectrum decays fast and
+``e^T e`` itself is tiny at moderate ``r``, so the bracket is tight (and
+with ``rank = n`` the cache is exact up to CG tolerance — the CPU parity
+test). This is the same amortisation idea as LOVE (Pleiss et al., 2018,
+"Constant-Time Predictive Distributions for Gaussian Processes"), realised
+on the eig basis the TPU path already maintains instead of a fresh Lanczos
+decomposition.
+
+Reference anchor: fused marginal variance is the product surface —
+``/root/reference/stheno/model/fdd.py:64-83`` (``var_diag`` thunks) and the
+latency gate ``/root/reference/tests/model/test_gp.py:201-211``; the
+reference has no scale-N analogue (its only lever is inducing points).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import config
+from .cg import batched_cg
+from .matvec import kernel_matvec
+from .pchol import eig_preconditioner_factors, eig_preconditioner_ops
+
+__all__ = ["VarianceCache", "variance_cache", "cached_posterior_var"]
+
+
+class VarianceCache(NamedTuple):
+    """Precomputed state for :func:`cached_posterior_var` (a pytree — safe
+    to close over, pass through ``jit``, or donate).
+
+    Fields:
+        U: orthonormal eig basis ``(n, r)`` of the training Gram.
+        S: ``(K + noise I)^{-1} U`` ``(n, r)``.
+        M: ``sym(U^T S)`` ``(r, r)``.
+        noise: scalar observation noise ``s2``.
+        tau: tail-spectrum bound used for the out-of-span term (the
+            smallest captured Ritz value, or 0 for the max-reduction
+            bracket).
+    """
+
+    U: jax.Array
+    S: jax.Array
+    M: jax.Array
+    noise: jax.Array
+    tau: jax.Array
+
+
+@config.pin_matmul_precision
+def variance_cache(
+    kernel_fn,
+    params,
+    x,
+    noise,
+    *,
+    rank=512,
+    key=None,
+    precond_state=None,
+    power_iters=2,
+    refine=True,
+    cg_tol=1e-3,
+    max_cg_iters=50,
+    block=4096,
+    tail="conservative",
+):
+    """Build the amortised-variance cache (one-time, post-training).
+
+    Args:
+        kernel_fn: ``params -> Kernel`` expression builder.
+        params: hyperparameter pytree (treated as constants — variance
+            serving is not differentiated through the cache build).
+        x: training inputs ``(n, d)`` or ``(n,)``.
+        noise: scalar observation noise.
+        rank: basis width ``r``. Accuracy is set by how much of the
+            cross-covariance columns' energy the dominant eigenspace
+            carries; 256–512 is ample for smooth kernels (with
+            ``rank >= n`` the cache is exact to CG tolerance).
+        key: PRNG key for the subspace probes (required unless
+            ``precond_state`` is given).
+        precond_state: optional ``(U, lam)`` from
+            ``nlml.eig_precond_state`` — reused as the basis (one extra
+            power sweep refreshes Ritz accuracy when ``power_iters > 1``
+            is requested and the state is stale; here it is used as-is).
+        power_iters: subspace-iteration sweeps when building fresh
+            (2 by default — variance wants tighter Ritz pairs than the
+            preconditioner, where staleness only costs iterations).
+        refine: CG-refine ``S`` from the spectral warm start
+            ``U diag(1/(lam + noise))`` (one whitened CG on the residual
+            system; the warm start is already accurate, so this converges
+            in a couple of iterations). ``False`` keeps the pure spectral
+            ``S`` — zero extra matvecs, accuracy limited by the Ritz
+            residual.
+        cg_tol: relative tolerance of the refinement solve (relative to
+            the RESIDUAL right-hand side, so the effective accuracy on
+            ``S`` is much tighter).
+        max_cg_iters: refinement iteration cap.
+        block: Gram-tile row-block size for the matvecs.
+        tail: ``"conservative"`` (default) uses ``tau = min(lam)`` —
+            never overstates the reduction (variance never under-
+            estimated by the tail term); ``"zero"`` uses ``tau = 0``
+            (the maximum-reduction bracket end).
+
+    Returns:
+        :class:`VarianceCache`.
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    noise = jnp.asarray(noise)
+    k = kernel_fn(jax.tree.map(jax.lax.stop_gradient, params))
+    mv = lambda v: kernel_matvec(k, x, v, block=block)
+    if precond_state is not None:
+        U, lam = precond_state
+    else:
+        if key is None:
+            raise ValueError(
+                "variance_cache: pass `key` (subspace probe seed) or a "
+                "prebuilt `precond_state`."
+            )
+        om = jax.random.normal(key, (n, min(rank, n)), x.dtype)
+        U, lam = eig_preconditioner_factors(mv, om, power_iters)
+    U = jax.lax.stop_gradient(U)
+    lam = jax.lax.stop_gradient(lam)
+    # Spectral warm start: (K + s2 I) U ~ U (lam + s2) for Ritz pairs.
+    S0 = U / (lam + noise)[None, :]
+    if refine:
+        # Solve (K + s2 I) dS = R0 with R0 = U - (K + s2 I) S0 on the
+        # whitened operator (same split preconditioning as the NLML path:
+        # CG's f32 residual floor is eps * kappa of the operator it
+        # recurses on, and the whitened one has kappa = O(1)).
+        _, _, phi, _ = eig_preconditioner_ops(U, lam, noise, n)
+
+        def mv_white(v):
+            pv = phi(v)
+            return phi(mv(pv) + noise * pv)
+
+        R0 = U - (mv(S0) + noise * S0)
+        dSw, _ = batched_cg(
+            mv_white, phi(R0), tol=cg_tol, max_iters=max_cg_iters
+        )
+        S = S0 + phi(dSw)
+    else:
+        S = S0
+    M = U.T @ S
+    M = 0.5 * (M + M.T)
+    if tail == "conservative":
+        tau = jnp.min(lam)
+    elif tail == "zero":
+        tau = jnp.zeros((), lam.dtype)
+    else:
+        raise ValueError(f"Unknown tail policy {tail!r}.")
+    return VarianceCache(U=U, S=S, M=M, noise=noise, tau=tau)
+
+
+@config.pin_matmul_precision
+def cached_posterior_var(
+    kernel_fn, params, x, cache, x_new, *, chunk=1024, clamp=True
+):
+    """Posterior variance diagonal at ``x_new`` from a prebuilt
+    :class:`VarianceCache` — pure GEMM work, jit-composable (the chunks
+    run under ``lax.map`` inside whatever jit context the caller uses).
+
+    Per test chunk of ``c`` points the work is one ``(n, c)`` cross-Gram
+    build plus two ``(r, n) @ (n, c)`` GEMMs — no CG, no dependence on the
+    number of test points beyond the linear sweep.
+
+    Args:
+        kernel_fn: ``params -> Kernel`` builder (same as the cache's).
+        params: hyperparameters (must match the cache build — the cache
+            holds solves against THAT Gram).
+        x: training inputs.
+        cache: :class:`VarianceCache` from :func:`variance_cache`.
+        x_new: test inputs ``(m, d)`` or ``(m,)``.
+        chunk: test-point chunk width (peak memory O(n * chunk)).
+        clamp: clamp the result at 0 (reference ``marginals`` semantics).
+
+    Returns:
+        Variance diagonal ``(m,)``.
+    """
+    from ..kernels import elwise as k_elwise
+    from ..kernels import pairwise as k_pairwise
+    from ..matrix import dense as mat_dense
+
+    k = kernel_fn(params)
+    x_arr = jnp.asarray(x)
+    if x_arr.ndim == 1:
+        x_arr = x_arr[:, None]
+    xn = jnp.asarray(x_new)
+    if xn.ndim == 1:
+        xn = xn[:, None]
+    m = xn.shape[0]
+    U, S, M, noise, tau = cache
+    denom = noise + tau
+
+    chunk = min(chunk, m)
+    nchunks = -(-m // chunk)
+    m_pad = nchunks * chunk
+    xn_pad = jnp.zeros((m_pad, xn.shape[1]), xn.dtype).at[:m].set(xn)
+
+    def one_chunk(xc):
+        Kxc = jnp.asarray(mat_dense(k_pairwise(k, x_arr, xc)))  # (n, c)
+        C_u = U.T @ Kxc  # (r, c)
+        C_s = S.T @ Kxc  # (r, c)
+        colsq = jnp.sum(Kxc * Kxc, axis=0)  # (c,)
+        in_span = 2.0 * jnp.sum(C_s * C_u, axis=0) - jnp.sum(
+            C_u * (M @ C_u), axis=0
+        )
+        out_span = (colsq - jnp.sum(C_u * C_u, axis=0)) / denom
+        return in_span + jnp.maximum(out_span, 0.0)
+
+    reductions = lax.map(
+        one_chunk, xn_pad.reshape(nchunks, chunk, xn.shape[1])
+    ).reshape(m_pad)[:m]
+    prior = jnp.asarray(mat_dense(k_elwise(k, xn)))[:, 0]
+    out = prior - reductions
+    return jnp.maximum(out, 0.0) if clamp else out
