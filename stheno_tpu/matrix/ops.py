@@ -616,14 +616,13 @@ def _chol_dense(mat):
         # covers the amplification (see ops/chol.py numerics note).
         eps = eps * 10.0
     mat = mat + eps * jnp.eye(n, dtype=mat.dtype)
-    if use_fast and mat.ndim == 2:
+    if use_fast:
         from ..ops.chol import cholesky_with_inv
 
+        # Batched inputs ride the same carried-inverse recursion (r4):
+        # the batched base cases are XLA's natively batched cholesky and
+        # triangular solve.
         return cholesky_with_inv(mat)
-    if use_fast:
-        from ..ops.chol import fast_cholesky
-
-        return fast_cholesky(mat), None
     return jnp.linalg.cholesky(mat), None
 
 

@@ -375,3 +375,57 @@ def test_matrix_cotangents_symmetrised_freeform_entries():
                 G[i, j], fd, rtol=2e-4, atol=1e-8,
                 err_msg=f"{name} d/dA[{i},{j}]",
             )
+
+
+def test_cholesky_with_inv_batched():
+    """Batched cholesky_with_inv matches the per-matrix call (VERDICT r3
+    #3: batched differentiated factorisations get the carried inverse)."""
+    from stheno_tpu.ops.chol import cholesky_with_inv
+
+    A = jnp.stack([_spd(700, seed=10 + i) for i in range(3)])
+    L, Linv = cholesky_with_inv(A)
+    assert L.shape == A.shape and Linv.shape == A.shape
+    for i in range(3):
+        Li, Ii = cholesky_with_inv(A[i])
+        np.testing.assert_allclose(np.asarray(L[i]), np.asarray(Li), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(Linv[i]), np.asarray(Ii), rtol=1e-12)
+        resid = np.max(np.abs(np.asarray(L[i] @ Linv[i]) - np.eye(700)))
+        assert resid < 1e-8
+
+
+def test_batched_fast_policy_carries_inverse_and_grad_parity():
+    """Under the "fast" policy a BATCHED dense factorisation carries the
+    batched inverse (so batched solve VJPs are GEMMs), and batched NLML
+    gradients match the xla policy."""
+    import stheno_tpu.matrix as M
+    from stheno_tpu import config
+
+    batch = jnp.stack([_spd(600, seed=20 + i) for i in range(2)])
+    ys = jnp.asarray(np.random.RandomState(5).randn(2, 600))
+
+    def nlml(s, impl):
+        try:
+            config.set_cholesky_impl(impl)
+            A = M.Dense(s * batch)
+            return jnp.sum(
+                M.logdet(A)
+                + M.iqf_diag(A, ys[..., None])[..., 0]
+            )
+        finally:
+            config.set_cholesky_impl("auto")
+
+    try:
+        config.set_cholesky_impl("fast")
+        L = M.cholesky(M.Dense(batch))
+        inv = L._cache.get("inv")
+        assert inv is not None and inv.shape == batch.shape
+    finally:
+        config.set_cholesky_impl("auto")
+
+    for impl in ("fast", "xla"):
+        v = float(nlml(jnp.asarray(1.0), impl))
+        assert np.isfinite(v)
+    v_f, g_f = jax.value_and_grad(lambda s: nlml(s, "fast"))(jnp.asarray(1.0))
+    v_x, g_x = jax.value_and_grad(lambda s: nlml(s, "xla"))(jnp.asarray(1.0))
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-9)
+    np.testing.assert_allclose(float(g_f), float(g_x), rtol=1e-7)
