@@ -8,6 +8,7 @@ NLML fits."""
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 __all__ = ["minimise_adam", "minimise_lbfgs", "minimise_l_bfgs_b"]
@@ -29,9 +30,18 @@ def _make_loss(f, vs):
     return loss
 
 
-def minimise_adam(f, vs, iters=200, rate=5e-2, trace=False):
+def minimise_adam(f, vs, iters=200, rate=5e-2, trace=False,
+                  steps_per_dispatch=1):
     """Minimise ``f(vs)`` with Adam over the latent parameters; assigns the
-    optimised values back into ``vs`` and returns the final objective."""
+    optimised values back into ``vs`` and returns the final objective.
+
+    ``steps_per_dispatch``: chain this many optimiser steps inside ONE
+    jitted ``lax.scan`` dispatch. On a remote-tunneled TPU each host
+    dispatch costs ~25-60 ms — more than an entire n<=2000 NLML step — so
+    per-step dispatch is dominated by the tunnel; chaining amortises it
+    (VERDICT r3 #5). The math is identical (same update sequence); only
+    the host round-trip count changes. Objective values are still
+    collected per step (the scan stacks them; one fetch per chain)."""
     loss = _make_loss(f, vs)
     params = vs.latent_dict()
     opt = optax.adam(rate)
@@ -44,11 +54,37 @@ def minimise_adam(f, vs, iters=200, rate=5e-2, trace=False):
         params = optax.apply_updates(params, updates)
         return params, state, val
 
+    k = max(1, int(steps_per_dispatch))
+
+    @jax.jit
+    def chain(params, state):
+        def body(carry, _):
+            params, state = carry
+            params, state, val = step(params, state)
+            return (params, state), val
+
+        (params, state), vals = jax.lax.scan(
+            body, (params, state), None, length=k
+        )
+        return params, state, vals
+
+    done = 0
     val = None
-    for i in range(iters):
-        params, state, val = step(params, state)
-        if trace and (i % max(1, iters // 10) == 0):
-            print(f"adam iter {i}: {float(val):.6f}")
+    while done < iters:
+        if k > 1 and iters - done >= k:
+            params, state, vals = chain(params, state)
+            if trace:
+                vals = np.asarray(vals)
+                for j, v in enumerate(vals):
+                    i = done + j
+                    if i % max(1, iters // 10) == 0:
+                        print(f"adam iter {i}: {float(v):.6f}")
+            done += k
+        else:
+            params, state, val = step(params, state)
+            if trace and (done % max(1, iters // 10) == 0):
+                print(f"adam iter {done}: {float(val):.6f}")
+            done += 1
     vs.assign_latent(params)
     return float(loss(params))
 

@@ -20,6 +20,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .checkpoint import load_pytree, save_pytree
@@ -49,6 +50,7 @@ def resumable_minimise(
     rate=5e-3,
     max_retries=6,
     trace=False,
+    steps_per_dispatch=1,
 ):
     """Minimise ``objective(params)`` with checkpoint/resume and bad-step
     rollback.
@@ -77,6 +79,15 @@ def resumable_minimise(
             at ``rate``).
         max_retries: consecutive halvings tolerated per rollback episode.
         trace: collect per-step objective values.
+        steps_per_dispatch: chain this many steps inside ONE jitted
+            ``lax.scan`` dispatch (health-checked between chains — one
+            scalar fetch per chain instead of per step; on the ~25-60 ms
+            remote-TPU tunnel this is the difference between the tunnel
+            and the step dominating). The scan freezes on the first
+            non-finite step inside a chain; a failed chain is replayed
+            step-by-step from its (validated) start state, so rollback
+            semantics are exactly the per-step ones. Rollback episodes
+            and checkpoints always run step-granular.
 
     Returns:
         ``(params, info)`` with ``info = {"steps_run", "resumed_from",
@@ -118,6 +129,45 @@ def resumable_minimise(
         updates = jax.tree.map(lambda u: u * scale, updates)
         return optax.apply_updates(params, updates), opt_state
 
+    k = max(1, int(steps_per_dispatch))
+
+    @jax.jit
+    def chain_steps(params, opt_state):
+        """``k`` full-scale steps in one dispatch (lax.scan). Freezes the
+        carried state on the first non-finite evaluation (scan cannot bail
+        early), so a poisoned chain returns its inputs' last-good state and
+        ``ok=False`` — the host then replays it step-granular. Also carries
+        the PRE-update state + grads of the last executed step: that is the
+        rollback anchor (``validated``) after a good chain."""
+
+        def body(carry, _):
+            params, opt_state, ok, last_pre = carry
+            val, grads = jax.value_and_grad(objective)(params)
+            finite = jnp.logical_and(ok, _finite_flag(val, grads))
+            updates, new_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+
+            def keep(new, old):
+                return jax.tree.map(
+                    lambda a, b: jnp.where(finite, a, b), new, old
+                )
+
+            return (
+                keep(new_params, params),
+                keep(new_state, opt_state),
+                finite,
+                keep((params, opt_state, grads), last_pre),
+            ), val
+
+        init_pre = (params, opt_state, jax.tree.map(jnp.zeros_like, params))
+        (pf, sf, ok, last_pre), vals = jax.lax.scan(
+            body,
+            (params, opt_state, jnp.asarray(True), init_pre),
+            None,
+            length=k,
+        )
+        return pf, sf, ok, last_pre, vals
+
     # ``history[i]`` is the objective after ``start_step + i`` validated
     # updates — exactly one entry per completed step (rollback retries
     # never append; only the evaluation that finally validates the step
@@ -136,7 +186,43 @@ def resumable_minimise(
     validated = None
     retries = 0
     scale = 1.0
+    # After a failed chain, force this many step-granular iterations (the
+    # chain's worth) so the bad step is localised and rolled back exactly
+    # as in per-step mode.
+    per_step_left = 0
     while True:
+        if (
+            k > 1
+            and retries == 0
+            and per_step_left == 0
+            and validated is not None
+            and step + k <= steps
+        ):
+            new_p, new_s, ok, last_pre, vals = chain_steps(params, opt_state)
+            # ONE scalar fetch decides the whole chain's health.
+            if bool(ok):
+                params, opt_state = new_p, new_s
+                validated = tuple(last_pre)
+                if trace:
+                    history.extend(float(v) for v in np.asarray(vals))
+                first, last = step, step + k - 1
+                step += k
+                if any(
+                    s % checkpoint_every == 0 for s in range(first, last + 1)
+                ) or last == steps:
+                    # The last VALIDATED state of the chain (its final
+                    # step's pre-update params — the produced state is
+                    # only validated by the next evaluation).
+                    save_pytree(
+                        checkpoint_path,
+                        {
+                            "params": validated[0],
+                            "opt_state": validated[1],
+                            "step": jnp.asarray(last, jnp.int32),
+                        },
+                    )
+                continue
+            per_step_left = k
         val, grads, finite = vg(params)
         # ONE scalar fetch decides validity; ``val`` itself is only
         # fetched when tracing is on.
@@ -166,6 +252,7 @@ def resumable_minimise(
             continue
         retries = 0
         scale = 1.0
+        per_step_left = max(0, per_step_left - 1)
         validated = (params, opt_state, grads)
         if trace:
             history.append(float(val))

@@ -159,3 +159,75 @@ def test_checkpoint_treedef_repr_drift_warns_but_loads(tmp_path):
     assert float(out["a"]) == 1.0 and float(out["b"]) == 2.0
     with pytest.raises(ValueError, match="repr"):
         load_pytree(path, template, strict=True)
+
+
+def test_chained_dispatch_matches_per_step_trajectory(tmp_path):
+    """steps_per_dispatch > 1 chains steps in one lax.scan dispatch; on a
+    clean run the update sequence, trace, and final params are identical
+    to per-step mode (VERDICT r3 #5)."""
+    obj = lambda p: jnp.sum((p["x"] - 2.0) ** 2) + jnp.sum(p["y"] ** 4)
+    init = {"x": jnp.zeros(2), "y": jnp.asarray(0.7)}
+    p1, i1 = resumable_minimise(
+        obj, init, steps=20, checkpoint_path=str(tmp_path / "a.npz"),
+        optimizer=optax.adam(0.05), trace=True,
+    )
+    p2, i2 = resumable_minimise(
+        obj, init, steps=20, checkpoint_path=str(tmp_path / "b.npz"),
+        optimizer=optax.adam(0.05), trace=True, steps_per_dispatch=5,
+    )
+    np.testing.assert_allclose(np.asarray(p1["x"]), np.asarray(p2["x"]), rtol=1e-12)
+    np.testing.assert_allclose(float(p1["y"]), float(p2["y"]), rtol=1e-12)
+    assert len(i1["objective_trace"]) == len(i2["objective_trace"]) == 21
+    np.testing.assert_allclose(
+        i1["objective_trace"], i2["objective_trace"], rtol=1e-10
+    )
+    assert i2["steps_run"] == 20 and i2["rejected_steps"] == 0
+
+
+def test_chained_dispatch_rollback_parity(tmp_path):
+    """A NaN wall inside a chain freezes the scan, the chain is replayed
+    step-granular, and the rollback outcome matches per-step mode."""
+    def objective(p):
+        return jnp.where(p["w"] ** 2 > 25.0, jnp.nan, 10.0 * (p["w"] - 3.0) ** 2)
+
+    kw = dict(
+        steps=8, optimizer=optax.sgd(0.4), trace=True, max_retries=6,
+    )
+    p1, i1 = resumable_minimise(
+        objective, {"w": jnp.asarray(0.0)},
+        checkpoint_path=str(tmp_path / "a.npz"), **kw,
+    )
+    p2, i2 = resumable_minimise(
+        objective, {"w": jnp.asarray(0.0)},
+        checkpoint_path=str(tmp_path / "b.npz"), steps_per_dispatch=4, **kw,
+    )
+    assert i2["rejected_steps"] >= 1
+    assert i1["rollback_steps"] == i2["rollback_steps"] == [1]
+    np.testing.assert_allclose(float(p1["w"]), float(p2["w"]), rtol=1e-10)
+    np.testing.assert_allclose(
+        i1["objective_trace"], i2["objective_trace"], rtol=1e-10
+    )
+
+
+def test_chained_dispatch_resumes_from_checkpoint(tmp_path):
+    """Chained mode still checkpoints validated states at the configured
+    cadence, and a restarted run resumes from them."""
+    path = str(tmp_path / "ck.npz")
+    obj = lambda p: jnp.sum((p["x"] - 2.0) ** 2)
+    p0 = {"x": jnp.zeros(())}
+    resumable_minimise(
+        obj, p0, steps=8, checkpoint_path=path, checkpoint_every=2,
+        optimizer=optax.sgd(0.05), steps_per_dispatch=4,
+    )
+    assert os.path.exists(path)
+    p2, info = resumable_minimise(
+        obj, p0, steps=16, checkpoint_path=path, checkpoint_every=2,
+        optimizer=optax.sgd(0.05), steps_per_dispatch=4,
+    )
+    assert info["resumed_from"] in (7, 8)  # Last validated chain state.
+    # Whole run must end at the same place as one uninterrupted run.
+    p_ref, _ = resumable_minimise(
+        obj, p0, steps=16, checkpoint_path=str(tmp_path / "ref.npz"),
+        optimizer=optax.sgd(0.05),
+    )
+    np.testing.assert_allclose(float(p2["x"]), float(p_ref["x"]), rtol=1e-8)
