@@ -11,6 +11,13 @@ from .types import (
     Zero,
     is_structured,
 )
+from .extend import (
+    clear_rules,
+    dispatch_extension,
+    extension_rule,
+    register_matrix_type,
+    register_rule,
+)
 from .ops import *  # noqa: F401,F403
 from .ops import __all__ as _ops_all
 
@@ -26,4 +33,9 @@ __all__ = [
     "Woodbury",
     "Zero",
     "is_structured",
+    "register_matrix_type",
+    "register_rule",
+    "extension_rule",
+    "dispatch_extension",
+    "clear_rules",
 ] + list(_ops_all)

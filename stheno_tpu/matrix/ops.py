@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
+from .extend import dispatch_extension as _try_ext
 from .types import (
     AbstractMatrix,
     Constant,
@@ -78,6 +79,9 @@ def as_matrix(a):
 @config.pin_matmul_precision
 def dense(a):
     """Materialise ``a`` as a plain ``jnp`` array."""
+    _ext = _try_ext("dense", a)
+    if _ext is not NotImplemented:
+        return _ext
     if not is_structured(a):
         return jnp.asarray(a)
     if isinstance(a, (Dense, LowerTriangular, UpperTriangular)):
@@ -108,6 +112,9 @@ def dense(a):
 def diag_of(a):
     """Diagonal of a matrix as a vector ``(..., n)`` (matmul-bearing for
     LowRank, hence pinned)."""
+    _ext = _try_ext("diag_of", a)
+    if _ext is not NotImplemented:
+        return _ext
     if not is_structured(a):
         return jnp.diagonal(jnp.asarray(a), axis1=-2, axis2=-1)
     if isinstance(a, Diagonal):
@@ -142,6 +149,9 @@ def diag(a):
 
 
 def transpose(a):
+    _ext = _try_ext("transpose", a)
+    if _ext is not NotImplemented:
+        return _ext
     if not is_structured(a):
         return jnp.swapaxes(jnp.asarray(a), -1, -2)
     if isinstance(a, Dense):
@@ -206,6 +216,9 @@ def scale(a, s):
     """Multiply by a scalar (possibly batched: extra dims of ``s`` are
     *batch* dims, broadcast against the leaves' leading dims, never against
     the trailing matrix dims), preserving structure."""
+    _ext = _try_ext("scale", a, s)
+    if _ext is not NotImplemented:
+        return _ext
     if not is_structured(a):
         s_arr = jnp.asarray(s)
         return jnp.asarray(a) * (
@@ -243,6 +256,9 @@ def add(a, b):
     """Structure-preserving addition. Scalars broadcast like dense addition
     only when one side is Constant/Zero-free dense semantics — the reference
     only ever adds matrices of matching shape, so we require that too."""
+    _ext = _try_ext("add", a, b)
+    if _ext is not NotImplemented:
+        return _ext
     if _is_scalar(a) and _is_scalar(b):
         return jnp.asarray(a) + jnp.asarray(b)
     # `x + 0` shows up in the pseudo-obs code (`K_n += 0`).
@@ -320,6 +336,9 @@ def _pad_batch(x, y):
 
 def multiply(a, b):
     """Elementwise (Hadamard) product."""
+    _ext = _try_ext("multiply", a, b)
+    if _ext is not NotImplemented:
+        return _ext
     if _is_scalar(a):
         return scale(b, a)
     if _is_scalar(b):
@@ -350,6 +369,9 @@ def multiply(a, b):
 @config.pin_matmul_precision
 def matmul(a, b, tr_a=False, tr_b=False):
     """``a @ b`` with optional transposes, preserving structure where cheap."""
+    _ext = _try_ext("matmul", a, b, tr_a=tr_a, tr_b=tr_b)
+    if _ext is not NotImplemented:
+        return _ext
     if tr_a:
         a = transpose(a) if is_structured(a) else jnp.swapaxes(jnp.asarray(a), -1, -2)
     if tr_b:
@@ -640,6 +662,9 @@ def _lower_with_inv(pair):
 def cholesky(a):
     """Cholesky factor (lower). Cached per matrix object; adds the configured
     jitter for dense factorisations like the reference's ``B.epsilon`` policy."""
+    _ext = _try_ext("cholesky", a)
+    if _ext is not NotImplemented:
+        return _ext
     if not is_structured(a):
         return _lower_with_inv(_chol_dense(jnp.asarray(a)))
 
@@ -684,6 +709,9 @@ def solve(a, b):
     ``matmul``'s vector semantics). The dense-Cholesky branch carries an
     analytic ``custom_vjp``; forward mode falls back to the plain body
     (see the analytic-VJP note above)."""
+    _ext = _try_ext("solve", a, b)
+    if _ext is not NotImplemented:
+        return _ext
     if not is_structured(b):
         b_arr = jnp.asarray(b)
         if b_arr.ndim == 1:
@@ -1143,6 +1171,9 @@ def logdet(a):
     Bayesian linear regression stays O(N r^2). The dense-Cholesky branch
     carries an analytic ``custom_vjp``; forward mode falls back to the
     plain body (see the analytic-VJP note above)."""
+    _ext = _try_ext("logdet", a)
+    if _ext is not NotImplemented:
+        return _ext
     if isinstance(a, Diagonal):
         return jnp.sum(jnp.log(a.diag), axis=-1)
     if isinstance(a, Woodbury):
