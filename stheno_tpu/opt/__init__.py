@@ -1,3 +1,4 @@
+from .diagnostics import effective_sample_size, potential_scale_reduction
 from .hmc import sample_hmc
 from .minimise import minimise_adam, minimise_l_bfgs_b, minimise_lbfgs
 from .nuts import sample_nuts
@@ -9,5 +10,7 @@ __all__ = [
     "minimise_lbfgs",
     "minimise_l_bfgs_b",
     "sample_hmc",
+    "effective_sample_size",
+    "potential_scale_reduction",
     "sample_nuts",
 ]
