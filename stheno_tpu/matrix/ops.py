@@ -884,11 +884,17 @@ def _kinv_from_chol(L, Linv):
         if L.ndim > 2:
             eye = jnp.broadcast_to(eye, L.shape)
         Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return jnp.matmul(
-        jnp.swapaxes(Linv, -1, -2),
+    # Structure-aware product (r4): Linv is lower-triangular and the
+    # result symmetric, so the oblivious GEMM pays ~6x the necessary MACs
+    # (ops/trimul.syrk_tn_lower: lower blocks over trimmed row ranges,
+    # mirrored). This was the single largest backward GEMM of the dense
+    # NLML step.
+    from ..ops.trimul import auto_nb, syrk_tn_lower
+
+    return syrk_tn_lower(
         Linv,
-        preferred_element_type=L.dtype,
         precision=jax.lax.Precision.HIGH,
+        nb=auto_nb(Linv.shape[-1]),
     )
 
 

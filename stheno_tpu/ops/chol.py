@@ -48,12 +48,20 @@ import jax.numpy as jnp
 from .. import config
 from . import pallas_chol
 from .pallas_chol import chol_tile, chol_tile_available
+from .trimul import mul_at, mul_att, mul_ta, syrk_nt
 
 __all__ = ["fast_cholesky", "cholesky_with_inv", "tri_inv_lower"]
 
 # Base-case size: below this, XLA's kernels are competitive and recursion
-# overhead is not worth it. 512 measured best on v5e (256..1024 tried).
-_BASE = 512
+# overhead is not worth it. r4 re-measured on v5e inside the n=8192
+# NLML+grad step: 1024 beats 512/256 (55.1 vs 58.2/59.1 ms).
+_BASE = 1024
+
+# Use the structure-aware products (ops/trimul.py) for the recursion's
+# panel/Schur/inverse GEMMs: one triangular operand each, so the dense
+# forms pay ~2x the necessary flops. Module flag so the perf scripts can
+# A/B the dense forms.
+_TRI_AWARE = True
 
 
 def _split(n):
@@ -79,7 +87,10 @@ def tri_inv_lower(L):
     L22 = L[..., m:, m:]
     I11 = tri_inv_lower(L11)
     I22 = tri_inv_lower(L22)
-    I21 = -I22 @ (L21 @ I11)
+    if _TRI_AWARE:
+        I21 = -mul_ta(I22, mul_at(L21, I11))
+    else:
+        I21 = -I22 @ (L21 @ I11)
     top = jnp.concatenate(
         [I11, jnp.zeros(L.shape[:-2] + (m, n - m), L.dtype)], axis=-1
     )
@@ -120,11 +131,20 @@ def cholesky_with_inv(A):
     A22 = A[..., m:, m:]
     L11, I11 = cholesky_with_inv(A11)
     # Panel via the explicit triangular inverse: one big GEMM instead of a
-    # sequential triangular solve with n-m right-hand sides.
-    L21 = A21 @ jnp.swapaxes(I11, -1, -2)
-    S = A22 - L21 @ jnp.swapaxes(L21, -1, -2)
-    L22, I22 = cholesky_with_inv(S)
-    I21 = -I22 @ (L21 @ I11)
+    # sequential triangular solve with n-m right-hand sides. The
+    # structure-aware forms skip the known-zero halves of the triangular
+    # operands (ops/trimul.py) — the recursion's total GEMM MACs drop from
+    # ~2n^3/3 to ~n^3/3.
+    if _TRI_AWARE:
+        L21 = mul_att(A21, I11)
+        S = A22 - syrk_nt(L21)
+        L22, I22 = cholesky_with_inv(S)
+        I21 = -mul_ta(I22, mul_at(L21, I11))
+    else:
+        L21 = A21 @ jnp.swapaxes(I11, -1, -2)
+        S = A22 - L21 @ jnp.swapaxes(L21, -1, -2)
+        L22, I22 = cholesky_with_inv(S)
+        I21 = -I22 @ (L21 @ I11)
     zeros = jnp.zeros(A.shape[:-2] + (m, n - m), A.dtype)
     L = jnp.concatenate(
         [

@@ -217,7 +217,7 @@ def test_dense_nlml_grad_analytic_vjp_costs():
     (VERDICT r2: 40%-of-ceiling value+grad)."""
     from stheno_tpu import EQ, GP
 
-    n = 768
+    n = 2048  # Above the recursion base (r4: _BASE = 1024).
     x = jnp.linspace(0.0, 10.0, n)
     y = jnp.sin(x)
 

@@ -61,7 +61,7 @@ def test_cholesky_and_solve_dots_are_pinned():
     # factorisation emits dots, then check they carry the pinned precision.
     config.set_cholesky_impl("fast")
     try:
-        K = jnp.eye(700) * 2.0
+        K = jnp.eye(1600) * 2.0  # Above the recursion base so dots are emitted.
         jx = _jaxpr_str(lambda K: st.dense(st.cholesky(st.Dense(K))), K)
         assert "Precision.HIGHEST" in jx
     finally:
