@@ -229,12 +229,22 @@ def cached_posterior_var(
         Kxc = jnp.asarray(mat_dense(k_pairwise(k, x_arr, xc)))  # (n, c)
         C_u = U.T @ Kxc  # (r, c)
         C_s = S.T @ Kxc  # (r, c)
-        colsq = jnp.sum(Kxc * Kxc, axis=0)  # (c,)
+        # Out-of-span residual energy ||e||^2, e = k_* - U U^T k_*:
+        # computed from the EXPLICIT residual matrix. The algebraically
+        # equal ``||k_*||^2 - ||U^T k_*||^2`` catastrophically cancels in
+        # f32 (two ~||k_*||^2-magnitude numbers agreeing to ~1e-4
+        # relative), and the 1/(noise + tau) amplification turned that
+        # rounding into O(0.1) variance error — clamped-to-zero variances
+        # at extrapolation points (measured r4 on the 262k bench). The
+        # residual form costs one extra (n, r) x (r, c) GEMM and is
+        # cancellation-free (elementwise subtraction, then a sum of
+        # squares).
+        E = Kxc - U @ C_u
+        out_sq = jnp.sum(E * E, axis=0)  # (c,)
         in_span = 2.0 * jnp.sum(C_s * C_u, axis=0) - jnp.sum(
             C_u * (M @ C_u), axis=0
         )
-        out_span = (colsq - jnp.sum(C_u * C_u, axis=0)) / denom
-        return in_span + jnp.maximum(out_span, 0.0)
+        return in_span + out_sq / denom
 
     reductions = lax.map(
         one_chunk, xn_pad.reshape(nchunks, chunk, xn.shape[1])
