@@ -261,6 +261,44 @@ def bench_iterative_262k(dtype):
         _direct_time(mean_step, repeats=2), 3
     )
 
+    # Amortised serving split (r4): representer weights once, then each
+    # mean query is pure blocked cross-Gram matvec work.
+    from stheno_tpu.iterative import cached_posterior_mean, posterior_weights
+
+    wsolve = jax.jit(
+        lambda p: posterior_weights(
+            kf, p, x, y, 0.1, cg_tol=1e-4, max_cg_iters=200,
+            precond_state=state, block=8192,
+        )[0]
+    )
+    alpha = wsolve(params)
+    jax.block_until_ready(alpha)
+    wi = iter(np.linspace(0, 1e-6, 8))
+    out["posterior_weights_n262144_s"] = round(
+        _direct_time(
+            lambda: jax.block_until_ready(
+                wsolve({"log_s2": params["log_s2"] + next(wi),
+                        "log_ell": params["log_ell"]})
+            ),
+            2,
+        ),
+        3,
+    )
+    mquery = jax.jit(
+        lambda p, a, xn: cached_posterior_mean(kf, p, x, a, xn, block=8192)
+    )
+    jax.block_until_ready(mquery(params, alpha, x_new))
+    mi = iter(np.linspace(0, 1e-6, 8))
+    out["cached_posterior_mean_n262144_s"] = round(
+        _direct_time(
+            lambda: jax.block_until_ready(
+                mquery(params, alpha, x_new + next(mi))
+            ),
+            2,
+        ),
+        3,
+    )
+
     # Posterior variance at 2048 points via the amortised (LOVE-style)
     # cache (r4, VERDICT r3 #1): one-time eig-basis cache build, then the
     # query is pure GEMM work — measured ~65 ms for 2048 points vs 38.4 s
@@ -405,6 +443,70 @@ def bench_opt_steps(dtype):
     }
 
 
+def bench_nuts(dtype):
+    """Chain-parallel NUTS over (log_ell, log_s2, log_noise) of an EQ GP
+    posterior at n=2000 (VERDICT r3 #6): wall, min-ESS across params, and
+    the headline ESS/s. Adaptive jitter is on for the sampling window —
+    warmup explores tiny noise values where fixed f32 jitter NaNs (the
+    documented failure CLAUDE.md names adaptive jitter for)."""
+    from stheno_tpu import EQ, GP, config
+    from stheno_tpu.opt import (
+        effective_sample_size,
+        potential_scale_reduction,
+        sample_nuts,
+    )
+
+    n = 2000
+    r = np.random.RandomState(0)
+    x = jnp.asarray(np.sort(r.rand(n).astype(np.float32)) * 10)
+    y = jnp.asarray(
+        (np.sin(np.asarray(x)) + 0.15 * r.randn(n)).astype(np.float32)
+    )
+
+    def logpost(p):
+        f = GP(jnp.exp(p["log_s2"]) * EQ().stretch(jnp.exp(p["log_ell"])))
+        lp = f.measure.logpdf(f(x, jnp.exp(p["log_noise"])), y)
+        return lp - 0.5 * (
+            p["log_ell"] ** 2 + p["log_s2"] ** 2 + p["log_noise"] ** 2
+        )
+
+    init = {
+        "log_ell": jnp.asarray(0.0, dtype),
+        "log_s2": jnp.asarray(0.0, dtype),
+        "log_noise": jnp.asarray(-1.9, dtype),
+    }
+    config.set_adaptive_jitter(True)
+    try:
+        # Warm-up at the FULL shape (scan trip counts are baked into the
+        # HLO, so a smaller warm-up would compile a different program);
+        # remote compiles cost minutes through the tunnel and must not
+        # pollute the timed window.
+        sample_nuts(
+            logpost, init, jax.random.PRNGKey(1), num_samples=64,
+            num_warmup=64, num_chains=4, max_depth=5,
+        )
+        t0 = time.perf_counter()
+        samples, accept = sample_nuts(
+            logpost, init, jax.random.PRNGKey(0), num_samples=64,
+            num_warmup=64, num_chains=4, max_depth=5,
+        )
+        wall = time.perf_counter() - t0
+    finally:
+        config.set_adaptive_jitter(False)
+    ess = min(
+        effective_sample_size(np.asarray(samples[k])) for k in init
+    )
+    rhat = max(
+        potential_scale_reduction(np.asarray(samples[k])) for k in init
+    )
+    assert np.isfinite(ess) and rhat < 1.3, (ess, rhat)
+    return {
+        "nuts_n2000_wall_s": round(wall, 1),
+        "nuts_n2000_min_ess": round(float(ess), 1),
+        "nuts_n2000_ess_per_s": round(float(ess) / wall, 2),
+    }
+
+
 def bench_dist_elbo_1m(dtype):
     """1M-point VFE ELBO+gradient (M=512 inducing) on the available mesh."""
     from stheno_tpu import EQ
@@ -470,6 +572,7 @@ def main():
         suite.update(bench_iterative_262k(np_dtype))
         suite.update(bench_structured_grids(np_dtype))
         suite.update(bench_opt_steps(dtype))
+        suite.update(bench_nuts(dtype))
         suite["dist_elbo_n1e6_m512_ms"] = round(bench_dist_elbo_1m(dtype), 1)
 
     suite["bench_wall_s"] = round(time.time() - t_bench0, 1)

@@ -517,11 +517,29 @@ class Normal(RandomVector):
     # -- display ----------------------------------------------------------
 
     def __str__(self):
+        # Indented key-value block, the reference's rendering shape
+        # (``random.py:119-132`` via ``wbml.util.indented_kv``). Lazy
+        # thunks show as "unresolved" — printing must not force them.
+        from ..utils.display import indented_kv
+
         mean = "unresolved" if self._mean is None else str(self._mean)
         var = "unresolved" if self._var is None else str(self._var)
-        return f"<Normal: mean={mean}, var={var}>"
+        return (
+            "<Normal:\n"
+            + indented_kv("mean", mean, suffix=",\n")
+            + indented_kv("var", var, suffix=">")
+        )
 
-    __repr__ = __str__
+    def __repr__(self):
+        from ..utils.display import indented_kv
+
+        mean = "unresolved" if self._mean is None else repr(self._mean)
+        var = "unresolved" if self._var is None else repr(self._var)
+        return (
+            "<Normal:\n"
+            + indented_kv("mean", mean, suffix=",\n")
+            + indented_kv("var", var, suffix=">")
+        )
 
 
 def _is_zero(mean):

@@ -1,10 +1,12 @@
 from .cg import batched_cg
 from .matvec import kernel_matvec
 from .nlml import (
+    cached_posterior_mean,
     eig_precond_state,
     iterative_nlml,
     iterative_posterior_mean,
     iterative_posterior_var,
+    posterior_weights,
 )
 from .pchol import (
     eig_preconditioner_factors,
@@ -37,6 +39,8 @@ __all__ = [
     "eig_precond_state",
     "iterative_posterior_mean",
     "iterative_posterior_var",
+    "posterior_weights",
+    "cached_posterior_mean",
     "pivoted_cholesky",
     "woodbury_preconditioner",
     "eig_preconditioner_factors",

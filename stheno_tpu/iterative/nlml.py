@@ -417,11 +417,15 @@ _nlml.defvjp(_nlml_fwd, _nlml_bwd)
 
 
 @config.pin_matmul_precision
-def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
-                             cg_tol=1e-6, max_cg_iters=1000,
-                             precond_rank=64, precond_state=None, block=4096):
-    """Matrix-free posterior mean at ``x_new``: solve ``K alpha = y`` by
-    preconditioned CG, then one blocked cross-Gram matvec.
+def posterior_weights(kernel_fn, params, x, y, noise, *,
+                      cg_tol=1e-6, max_cg_iters=1000,
+                      precond_rank=64, precond_state=None, block=4096):
+    """Representer weights ``alpha = (K + noise I)^{-1} y`` by matrix-free
+    preconditioned CG — the one-time solve of the amortised serving path
+    (r4): the weights do not depend on the test points, so serving many
+    prediction batches should build them ONCE and query
+    :func:`cached_posterior_mean` (pure blocked cross-Gram matvec work)
+    instead of re-running CG per call. Returns ``(alpha, info)``.
 
     ``precond_state``: optional prebuilt ``(U, lam)`` from
     :func:`eig_precond_state` — shares the preconditioner with other
@@ -441,17 +445,23 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
             mv_raw, jnp.asarray(x).shape[0], noise, precond_rank,
             dtype=y.dtype, state=precond_state,
         )
-        alpha, info = solver(y, tol=cg_tol, max_iters=max_cg_iters)
-    else:
-        mv = lambda v: kernel_matvec(k, x, v, noise=noise, block=block)
-        alpha, info = batched_cg(
-            mv, y, tol=cg_tol, max_iters=max_cg_iters
-        )
-    # Cross matvec: scan over x_new row blocks.
+        return solver(y, tol=cg_tol, max_iters=max_cg_iters)
+    mv = lambda v: kernel_matvec(k, x, v, noise=noise, block=block)
+    return batched_cg(mv, y, tol=cg_tol, max_iters=max_cg_iters)
+
+
+@config.pin_matmul_precision
+def cached_posterior_mean(kernel_fn, params, x, alpha, x_new, *, block=4096):
+    """Posterior mean at ``x_new`` from prebuilt representer weights
+    ``alpha`` (:func:`posterior_weights`): ``k(x_new, x) @ alpha`` as a
+    ``lax.scan`` over row blocks — no CG, O(M N) cross-Gram work only, and
+    jit-composable. The mean-side counterpart of
+    :func:`stheno_tpu.iterative.cached_posterior_var`."""
     from ..kernels import pairwise
     from ..matrix import dense
     from jax import lax
 
+    k = kernel_fn(params)
     x_arr = jnp.asarray(x)
     if x_arr.ndim == 1:
         x_arr = x_arr[:, None]
@@ -468,7 +478,31 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
         return carry, Kb @ alpha
 
     _, out = lax.scan(body, None, xn_pad.reshape(nb, blk, xn.shape[1]))
-    return out.reshape(nb * blk)[:m], info
+    return out.reshape(nb * blk)[:m]
+
+
+@config.pin_matmul_precision
+def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
+                             cg_tol=1e-6, max_cg_iters=1000,
+                             precond_rank=64, precond_state=None, block=4096):
+    """Matrix-free posterior mean at ``x_new``: solve ``K alpha = y`` by
+    preconditioned CG (:func:`posterior_weights`), then one blocked
+    cross-Gram matvec (:func:`cached_posterior_mean`). Serving many
+    batches of test points should call those two pieces directly and reuse
+    ``alpha`` across queries.
+
+    ``precond_state``: optional prebuilt ``(U, lam)`` from
+    :func:`eig_precond_state` — shares the preconditioner with other
+    posterior calls / the training loop instead of rebuilding it here."""
+    alpha, info = posterior_weights(
+        kernel_fn, params, x, y, noise, cg_tol=cg_tol,
+        max_cg_iters=max_cg_iters, precond_rank=precond_rank,
+        precond_state=precond_state, block=block,
+    )
+    mean = cached_posterior_mean(
+        kernel_fn, params, x, alpha, x_new, block=block
+    )
+    return mean, info
 
 
 @config.pin_matmul_precision

@@ -89,9 +89,26 @@ class FDD(Normal):
         )
 
     def __str__(self):
-        return f"<FDD: process={self.p}, input={self.x}, noise={self.noise}>"
+        # Reference rendering shape (``fdd.py:95-101``): indented
+        # key-value block over process/input/noise.
+        from ..utils.display import indented_kv
 
-    __repr__ = __str__
+        return (
+            "<FDD:\n"
+            + indented_kv("process", self.p, suffix=",\n")
+            + indented_kv("input", self.x, suffix=",\n")
+            + indented_kv("noise", self.noise, suffix=">")
+        )
+
+    def __repr__(self):
+        from ..utils.display import indented_kv
+
+        return (
+            "<FDD:\n"
+            + indented_kv("process", repr(self.p), suffix=",\n")
+            + indented_kv("input", repr(self.x), suffix=",\n")
+            + indented_kv("noise", repr(self.noise), suffix=">")
+        )
 
 
 def _input_dtype(x):

@@ -63,6 +63,21 @@ _BASE = 1024
 # A/B the dense forms.
 _TRI_AWARE = True
 
+# Which (L, inv(L)) engine backs ``cholesky_with_inv``:
+#   "recursion"  — the divide-and-conquer factorisation below (L and the
+#                  inverse built jointly, all GEMMs).
+#   "xla+trinv"  — XLA's sequential-panel ``cholesky`` for L, then the
+#                  GEMM-recursed triangular inverse. Candidate policy for
+#                  VERDICT r3 #2: XLA's factor is fast (16.5 ms at n=8192)
+#                  and the recursion's residual cost sits in its base-case
+#                  eye-solves; measured A/B in scripts/r4_tpu_experiments4.py.
+_WITH_INV_IMPL = "recursion"
+
+# Optional separate base size for the triangular-inverse recursion (falls
+# back to _BASE). The inverse's base case is a sequential eye-solve, a
+# different cost profile from the factorisation base.
+_INV_BASE = None
+
 
 def _split(n):
     """Split point: half, rounded up to a multiple of _BASE for aligned
@@ -76,7 +91,7 @@ def _split(n):
 def tri_inv_lower(L):
     """Inverse of a lower-triangular matrix by blocked recursion (GEMMs)."""
     n = L.shape[-1]
-    if n <= _BASE:
+    if n <= (_INV_BASE or _BASE):
         eye = jnp.eye(n, dtype=L.dtype)
         if L.ndim > 2:
             eye = jnp.broadcast_to(eye, L.shape)
@@ -112,6 +127,9 @@ def cholesky_with_inv(A):
     Schur, inverse off-diagonal) — no sequential triangular substitution
     anywhere."""
     n = A.shape[-1]
+    if _WITH_INV_IMPL == "xla+trinv" and n > _BASE:
+        L = jnp.linalg.cholesky(A)
+        return L, tri_inv_lower(L)
     if (
         A.ndim == 2
         and chol_tile_available()

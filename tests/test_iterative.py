@@ -772,3 +772,38 @@ def test_variance_cache_reuses_precond_state_and_requires_key():
     )
     with pytest.raises(ValueError, match="key"):
         variance_cache(kernel_fn, None, x, 0.05)
+
+
+def test_posterior_weights_cached_mean_amortised():
+    """The amortised serving split (r4): ``posterior_weights`` once +
+    ``cached_posterior_mean`` per query batch matches the dense posterior
+    and the one-shot ``iterative_posterior_mean``, and the query is
+    jit-composable."""
+    from stheno_tpu.iterative import cached_posterior_mean, posterior_weights
+
+    x, y = _setup(150)
+    kernel_fn = lambda p: jnp.exp(p["log_s2"]) * EQ()
+    params = {"log_s2": jnp.asarray(0.1, x.dtype)}
+    alpha, info = posterior_weights(
+        kernel_fn, params, x, y, 0.1, cg_tol=1e-10, block=64,
+        precond_rank=40,
+    )
+    f = GP(jnp.exp(params["log_s2"]) * EQ())
+    post = f | (f(x, 0.1), y)
+    for x_new in (jnp.linspace(0, 10, 50), jnp.linspace(2, 8, 37)):
+        mean_q = jax.jit(
+            lambda xn: cached_posterior_mean(
+                kernel_fn, params, x, alpha, xn, block=64
+            )
+        )(x_new)
+        mean_ref, _ = post(x_new).marginals()
+        np.testing.assert_allclose(
+            np.asarray(mean_q), np.asarray(mean_ref), rtol=1e-5, atol=1e-7
+        )
+        one_shot, _ = iterative_posterior_mean(
+            kernel_fn, params, x, y, 0.1, x_new, cg_tol=1e-10, block=64,
+            precond_rank=40,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mean_q), np.asarray(one_shot), rtol=1e-6, atol=1e-9
+        )

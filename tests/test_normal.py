@@ -474,3 +474,38 @@ def test_masked_blr_50k_never_materialises_nxn():
     bytes_accessed = cost.get("bytes accessed", 0.0)
     assert bytes_accessed < 2e9, bytes_accessed
     assert np.isfinite(float(np.asarray(compiled(x))))
+
+
+def test_rendering_indented_kv():
+    """``print(normal)`` renders an indented key-value block (the
+    reference's ``indented_kv`` shape, ``random.py:119-132``,
+    ``fdd.py:95-101``) and must NOT force lazy thunks."""
+    from stheno_tpu import EQ, GP
+
+    d = Normal(jnp.zeros((2, 1)), jnp.eye(2))
+    s = str(d)
+    assert s.startswith("<Normal:\n")
+    assert "    mean=" in s and "    var=" in s and s.endswith(">")
+
+    # Lazy ctor: printing shows "unresolved" without calling the thunks.
+    calls = []
+    lazy = Normal(
+        lambda: calls.append("mean") or jnp.zeros((2, 1)),
+        lambda: calls.append("var") or jnp.eye(2),
+    )
+    s = str(lazy)
+    assert "mean=unresolved" in s and "var=unresolved" in s
+    assert calls == []
+
+    f = GP(EQ())
+    fdd = f(jnp.linspace(0, 1, 3), 0.1)
+    s = str(fdd)
+    assert s.startswith("<FDD:\n")
+    assert "    process=" in s and "    input=" in s and "    noise=" in s
+    assert repr(fdd).startswith("<FDD:\n")
+
+    # Multi-line nested values stay aligned under their key.
+    from stheno_tpu.utils.display import indented_kv
+
+    block = indented_kv("k", "a\nb", suffix=",")
+    assert block == "    k=a\n      b,"
