@@ -221,6 +221,41 @@ def tri_aware_ab():
         trimul_mod._LEAF = orig_leaf
 
 
+def batched_nlml():
+    """Batched (8 x 2048) NLML value+grad: carried-inverse fast policy vs
+    XLA policy — the VERDICT r3 #3 'batched microbench shows the fast path
+    winning' evidence (batch-1 numbers were lost with the box)."""
+    from stheno_tpu import EQ, GP, config
+
+    b, n = 8, 2048
+    r = np.random.RandomState(0)
+    xb = jnp.asarray(np.sort(r.rand(b, n, 1).astype(np.float32), axis=1) * 10)
+    yb = jnp.sin(xb) + 0.1 * jnp.asarray(r.randn(b, n, 1).astype(np.float32))
+
+    def nlml(ell, impl):
+        config.set_cholesky_impl(impl)
+        try:
+            f = GP(EQ().stretch(ell))
+            return -jnp.sum(f(xb, 0.1).logpdf(yb))
+        finally:
+            config.set_cholesky_impl("auto")
+
+    for impl in ("fast", "xla"):
+        vg = jax.value_and_grad(lambda e, impl=impl: nlml(e, impl))
+
+        def make(iters):
+            @jax.jit
+            def many():
+                def body(i, acc):
+                    v, g = vg(jnp.asarray(2.0, dtype) + acc * 1e-30)
+                    return acc + (v + g) * 1e-30
+                return lax.fori_loop(0, iters, body, jnp.asarray(0.0, dtype))
+            return many
+
+        put(f"batched8x2048_vg_{impl}_ms",
+            round(slope_time(make, 2, 12) * 1e3, 2))
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     t0 = time.time()
@@ -228,6 +263,7 @@ def main():
     guard("kinv variants", kinv_variants)
     guard("reduction pieces", reduction_pieces)
     guard("tri-aware A/B", tri_aware_ab)
+    guard("batched nlml", batched_nlml)
     print(f"\ntotal wall: {time.time() - t0:.1f} s", flush=True)
     print("\nALL RESULTS:", json.dumps(RESULTS, indent=1), flush=True)
 

@@ -16,6 +16,7 @@ from .pchol import (
     woodbury_preconditioner,
 )
 from .slq import lanczos, slq_logdet
+from .serving import AmortisedPosterior
 from .variance import VarianceCache, cached_posterior_var, variance_cache
 from .toeplitz import (
     circulant_spectrum,
@@ -46,6 +47,7 @@ __all__ = [
     "eig_preconditioner_factors",
     "eig_preconditioner_ops",
     "make_whitened_solver",
+    "AmortisedPosterior",
     "VarianceCache",
     "variance_cache",
     "cached_posterior_var",

@@ -1,0 +1,132 @@
+"""One-object amortised serving for extreme-N exact GPs.
+
+The r4 amortised pieces — representer weights (``nlml.posterior_weights``)
+and the LOVE-style variance cache (``variance.variance_cache``) — make
+posterior prediction at N ~ 10^5-10^6 pure GEMM work per query, but left
+the orchestration to the user. :class:`AmortisedPosterior` bundles them:
+build once after training, then ``mean`` / ``var`` / ``mean_var`` /
+``marginal_credible_bounds`` serve arbitrary batches of test points with
+no CG in the query path.
+
+This is the scale-N counterpart of the reference's posterior-measure
+workflow ``post = prior | (f(x, noise), y); post(x_new).marginals()``
+(``/root/reference/stheno/model/measure.py:362-401``,
+``/root/reference/stheno/random.py:204-238``) — same outputs, but the
+O(N^3) dense pipeline is replaced by one matrix-free CG solve + an
+O(N r) cache, amortised across every later query.
+
+Axon/tunnel note: the cache arrays are large (U and S are ``(n, rank)``),
+so the query programs take them as ARGUMENTS of internally-jitted
+functions — a >~100 MB array closed over by a jitted function would be
+serialised into the remote compile request (HTTP 413; see CLAUDE.md).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from .nlml import cached_posterior_mean, posterior_weights
+from .variance import cached_posterior_var, variance_cache
+
+__all__ = ["AmortisedPosterior"]
+
+
+class AmortisedPosterior:
+    """Amortised posterior of an exact GP at large N.
+
+    Build (one-time, runs one preconditioned CG solve for the weights and
+    one cache build for the variance)::
+
+        post = AmortisedPosterior(
+            kernel_fn, params, x, y, noise,
+            rank=512, key=jax.random.PRNGKey(0),
+        )
+
+    then serve (each call is blocked cross-Gram + thin-GEMM work only,
+    jitted internally with the big operands passed as arguments)::
+
+        mu = post.mean(x_new)
+        sig2 = post.var(x_new)
+        mu, lo, hi = post.marginal_credible_bounds(x_new)
+
+    Args:
+        kernel_fn: ``params -> Kernel`` expression builder.
+        params: hyperparameter pytree (fixed at build time).
+        x: training inputs ``(n, d)`` or ``(n,)``.
+        y: training targets ``(n,)``.
+        noise: scalar observation noise.
+        rank: variance-cache basis width (see
+            :func:`stheno_tpu.iterative.variance_cache`).
+        key: PRNG key for the cache's subspace probes (required unless
+            ``precond_state`` is given).
+        precond_state: optional ``(U, lam)`` from ``eig_precond_state`` —
+            shared with the training loop; reused for both the weights
+            solve's preconditioner and the variance basis.
+        cg_tol / max_cg_iters: weights-solve tolerances.
+        refine / var_cg_tol / var_max_cg_iters: variance-cache refinement
+            controls (see :func:`variance_cache`).
+        block: Gram-tile row-block size.
+        chunk: test-point chunk width for variance queries.
+    """
+
+    def __init__(self, kernel_fn, params, x, y, noise, *, rank=512,
+                 key=None, precond_state=None, cg_tol=1e-4,
+                 max_cg_iters=200, refine=True, var_cg_tol=1e-3,
+                 var_max_cg_iters=50, power_iters=2, block=4096,
+                 chunk=1024):
+        self.kernel_fn = kernel_fn
+        self.params = params
+        self.noise = jnp.asarray(noise)
+        x = jnp.asarray(x)
+        self.x = x[:, None] if x.ndim == 1 else x
+        self.block = block
+        self.chunk = chunk
+        precond_rank = (
+            precond_state[0].shape[-1] if precond_state is not None
+            else min(64, rank)
+        )
+        self.alpha, self.solve_info = jax.jit(
+            lambda p, xx, yy: posterior_weights(
+                kernel_fn, p, xx, yy, noise, cg_tol=cg_tol,
+                max_cg_iters=max_cg_iters, precond_rank=precond_rank,
+                precond_state=precond_state, block=block,
+            )
+        )(params, self.x, jnp.asarray(y))
+        self.cache = jax.jit(
+            lambda p, xx: variance_cache(
+                kernel_fn, p, xx, noise, rank=rank, key=key,
+                precond_state=precond_state, power_iters=power_iters,
+                refine=refine, cg_tol=var_cg_tol,
+                max_cg_iters=var_max_cg_iters, block=block,
+            )
+        )(params, self.x)
+        self._mean_fn = jax.jit(
+            lambda p, xx, a, xn: cached_posterior_mean(
+                kernel_fn, p, xx, a, xn, block=block
+            )
+        )
+        self._var_fn = jax.jit(
+            lambda p, xx, c, xn: cached_posterior_var(
+                kernel_fn, p, xx, c, xn, chunk=chunk
+            )
+        )
+
+    def mean(self, x_new):
+        """Posterior mean at ``x_new`` — blocked cross-Gram matvec."""
+        return self._mean_fn(self.params, self.x, self.alpha, x_new)
+
+    def var(self, x_new):
+        """Posterior variance diagonal at ``x_new`` — cache GEMMs only."""
+        return self._var_fn(self.params, self.x, self.cache, x_new)
+
+    def mean_var(self, x_new):
+        """``(mean, var)`` at ``x_new``."""
+        return self.mean(x_new), self.var(x_new)
+
+    def marginal_credible_bounds(self, x_new):
+        """``(mean, lower, upper)`` central 95% credible bounds — the
+        reference's ``marginal_credible_bounds`` surface
+        (``random.py:229-238``)."""
+        mean, var = self.mean_var(x_new)
+        sd = jnp.sqrt(var)
+        return mean, mean - 1.96 * sd, mean + 1.96 * sd

@@ -807,3 +807,36 @@ def test_posterior_weights_cached_mean_amortised():
         np.testing.assert_allclose(
             np.asarray(mean_q), np.asarray(one_shot), rtol=1e-6, atol=1e-9
         )
+
+
+def test_amortised_posterior_serving_bundle():
+    """AmortisedPosterior (r4 serving bundle): one build, then mean/var/
+    credible-bound queries match the dense posterior at full rank."""
+    from stheno_tpu.iterative import AmortisedPosterior
+
+    x, y = _setup(120)
+    kernel_fn = lambda p: jnp.exp(p["log_s2"]) * EQ()
+    params = {"log_s2": jnp.asarray(0.2, x.dtype)}
+    post = AmortisedPosterior(
+        kernel_fn, params, x, y, 0.1, rank=120,
+        key=jax.random.PRNGKey(0), cg_tol=1e-10, var_cg_tol=1e-8,
+        var_max_cg_iters=200, block=64, chunk=32,
+    )
+    f = GP(jnp.exp(params["log_s2"]) * EQ())
+    ref = f | (f(x, 0.1), y)
+    x_new = jnp.linspace(0.3, 9.7, 41)
+    mean_ref, var_ref = ref(x_new).marginals()
+    mean, var = post.mean_var(x_new)
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(mean_ref), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(var), np.asarray(var_ref), rtol=1e-3, atol=1e-7
+    )
+    m2, lo, hi = post.marginal_credible_bounds(x_new)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mean))
+    np.testing.assert_allclose(
+        np.asarray(hi - lo), 2 * 1.96 * np.sqrt(np.asarray(var)), rtol=1e-6
+    )
+    # Solver health is surfaced.
+    assert float(np.asarray(post.solve_info["rel_residual"])) < 1e-6
