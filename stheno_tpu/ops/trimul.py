@@ -39,9 +39,12 @@ __all__ = [
 ]
 
 # Below this triangular size, structured recursion cannot beat one dense
-# GEMM (leaf GEMMs get too skinny to keep the MXU busy; measured on v5e —
-# see scripts/r4_tpu_experiments2.py).
-_LEAF = 1024
+# GEMM. Measured on v5e inside the n=8192 NLML value+grad (batch-5 sweep
+# + follow-up, scripts/out/r4_exp5.log, r4_leaf256.log): 512 and 256 tie
+# at 26.9 ms, 1024 costs 28.4, 2048 costs 31.7 — HIGHEST square GEMMs
+# hold 30-31 TF/s down to 1024 wide, so finer leaves trim MACs at no
+# GEMM-efficiency cost until 512.
+_LEAF = 512
 
 
 def _mm(a, b, precision):
