@@ -17,7 +17,12 @@ from .pchol import (
 )
 from .slq import lanczos, slq_logdet
 from .serving import AmortisedPosterior
-from .variance import VarianceCache, cached_posterior_var, variance_cache
+from .variance import (
+    VarianceCache,
+    cached_posterior_mean_var,
+    cached_posterior_var,
+    variance_cache,
+)
 from .toeplitz import (
     circulant_spectrum,
     grid_coords,
@@ -51,6 +56,7 @@ __all__ = [
     "VarianceCache",
     "variance_cache",
     "cached_posterior_var",
+    "cached_posterior_mean_var",
     "lanczos",
     "slq_logdet",
     "circulant_spectrum",

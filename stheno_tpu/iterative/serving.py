@@ -26,9 +26,28 @@ import jax.numpy as jnp
 
 from .. import config
 from .nlml import cached_posterior_mean, posterior_weights
-from .variance import cached_posterior_var, variance_cache
+from .variance import (
+    cached_posterior_mean_var,
+    cached_posterior_var,
+    variance_cache,
+)
 
 __all__ = ["AmortisedPosterior"]
+
+
+def _pad_rows(xn, mult):
+    """Pad ``xn`` (2-D) up to a row-count multiple of ``mult`` by
+    repeating the first row; returns ``(padded, true_m)``. Query shapes
+    are quantised BEFORE hitting the jitted functions so serving
+    arbitrary batch sizes compiles one program per bucket, not one per
+    distinct size (remote compiles through the axon tunnel cost
+    seconds-to-minutes — r4 self-review finding)."""
+    m = xn.shape[0]
+    m_pad = -(-m // mult) * mult
+    if m_pad == m:
+        return xn, m
+    pad = jnp.broadcast_to(xn[:1], (m_pad - m,) + xn.shape[1:])
+    return jnp.concatenate([xn, pad], axis=0), m
 
 
 class AmortisedPosterior:
@@ -110,18 +129,37 @@ class AmortisedPosterior:
                 kernel_fn, p, xx, c, xn, chunk=chunk
             )
         )
+        self._mean_var_fn = jax.jit(
+            lambda p, xx, a, c, xn: cached_posterior_mean_var(
+                kernel_fn, p, xx, a, c, xn, chunk=chunk
+            )
+        )
+
+    def _prep(self, x_new, mult):
+        xn = jnp.asarray(x_new)
+        if xn.ndim == 1:
+            xn = xn[:, None]
+        return _pad_rows(xn, mult)
 
     def mean(self, x_new):
         """Posterior mean at ``x_new`` — blocked cross-Gram matvec."""
-        return self._mean_fn(self.params, self.x, self.alpha, x_new)
+        xn, m = self._prep(x_new, self.block)
+        return self._mean_fn(self.params, self.x, self.alpha, xn)[:m]
 
     def var(self, x_new):
         """Posterior variance diagonal at ``x_new`` — cache GEMMs only."""
-        return self._var_fn(self.params, self.x, self.cache, x_new)
+        xn, m = self._prep(x_new, self.chunk)
+        return self._var_fn(self.params, self.x, self.cache, xn)[:m]
 
     def mean_var(self, x_new):
-        """``(mean, var)`` at ``x_new``."""
-        return self.mean(x_new), self.var(x_new)
+        """``(mean, var)`` at ``x_new`` — fused query: the per-chunk
+        cross-Gram build (the dominant cost) is shared between the mean
+        matvec and the variance reduction."""
+        xn, m = self._prep(x_new, self.chunk)
+        mean, var = self._mean_var_fn(
+            self.params, self.x, self.alpha, self.cache, xn
+        )
+        return mean[:m], var[:m]
 
     def marginal_credible_bounds(self, x_new):
         """``(mean, lower, upper)`` central 95% credible bounds — the

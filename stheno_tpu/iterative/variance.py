@@ -49,7 +49,12 @@ from .cg import batched_cg
 from .matvec import kernel_matvec
 from .pchol import eig_preconditioner_factors, eig_preconditioner_ops
 
-__all__ = ["VarianceCache", "variance_cache", "cached_posterior_var"]
+__all__ = [
+    "VarianceCache",
+    "variance_cache",
+    "cached_posterior_var",
+    "cached_posterior_mean_var",
+]
 
 
 class VarianceCache(NamedTuple):
@@ -252,3 +257,62 @@ def cached_posterior_var(
     prior = jnp.asarray(mat_dense(k_elwise(k, xn)))[:, 0]
     out = prior - reductions
     return jnp.maximum(out, 0.0) if clamp else out
+
+
+@config.pin_matmul_precision
+def cached_posterior_mean_var(
+    kernel_fn, params, x, alpha, cache, x_new, *, chunk=1024, clamp=True
+):
+    """Fused ``(mean, var)`` at ``x_new`` from prebuilt representer
+    weights ``alpha`` (:func:`~stheno_tpu.iterative.posterior_weights`)
+    and a :class:`VarianceCache` — the canonical serving query.
+
+    Shares ONE ``(n, c)`` cross-Gram build per chunk between the mean
+    matvec and the variance reduction (the cross-Gram over all N training
+    points is the dominant per-query cost of both; querying them
+    separately pays it twice — r4 self-review finding). Same math as
+    :func:`cached_posterior_mean` + :func:`cached_posterior_var`.
+    """
+    from ..kernels import elwise as k_elwise
+    from ..kernels import pairwise as k_pairwise
+    from ..matrix import dense as mat_dense
+
+    k = kernel_fn(params)
+    x_arr = jnp.asarray(x)
+    if x_arr.ndim == 1:
+        x_arr = x_arr[:, None]
+    xn = jnp.asarray(x_new)
+    if xn.ndim == 1:
+        xn = xn[:, None]
+    m = xn.shape[0]
+    U, S, M, noise, tau = cache
+    denom = noise + tau
+    alpha = jnp.asarray(alpha)
+
+    chunk = min(chunk, m)
+    nchunks = -(-m // chunk)
+    m_pad = nchunks * chunk
+    xn_pad = jnp.zeros((m_pad, xn.shape[1]), xn.dtype).at[:m].set(xn)
+
+    def one_chunk(xc):
+        Kxc = jnp.asarray(mat_dense(k_pairwise(k, x_arr, xc)))  # (n, c)
+        mean_c = Kxc.T @ alpha  # (c,)
+        C_u = U.T @ Kxc
+        C_s = S.T @ Kxc
+        E = Kxc - U @ C_u  # Cancellation-free out-of-span residual.
+        out_sq = jnp.sum(E * E, axis=0)
+        in_span = 2.0 * jnp.sum(C_s * C_u, axis=0) - jnp.sum(
+            C_u * (M @ C_u), axis=0
+        )
+        return mean_c, in_span + out_sq / denom
+
+    means, reductions = lax.map(
+        one_chunk, xn_pad.reshape(nchunks, chunk, xn.shape[1])
+    )
+    mean = means.reshape(m_pad)[:m]
+    reductions = reductions.reshape(m_pad)[:m]
+    prior = jnp.asarray(mat_dense(k_elwise(k, xn)))[:, 0]
+    var = prior - reductions
+    if clamp:
+        var = jnp.maximum(var, 0.0)
+    return mean, var

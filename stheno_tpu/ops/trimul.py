@@ -29,6 +29,8 @@ passed explicitly.
 import jax
 import jax.numpy as jnp
 
+from .. import config
+
 __all__ = [
     "mul_att",
     "mul_at",
@@ -60,6 +62,7 @@ def _split_point(m):
     return half if aligned >= m else aligned
 
 
+@config.pin_matmul_precision
 def mul_att(A, T, precision=None, leaf=None):
     """``A @ T^T`` with ``T`` lower-triangular ``(..., m, m)``."""
     m = T.shape[-1]
@@ -80,6 +83,7 @@ def mul_att(A, T, precision=None, leaf=None):
     return jnp.concatenate([left, right], axis=-1)
 
 
+@config.pin_matmul_precision
 def mul_at(A, T, precision=None, leaf=None):
     """``A @ T`` with ``T`` lower-triangular ``(..., m, m)``."""
     m = T.shape[-1]
@@ -96,6 +100,7 @@ def mul_at(A, T, precision=None, leaf=None):
     return jnp.concatenate([left, right], axis=-1)
 
 
+@config.pin_matmul_precision
 def mul_ta(T, A, precision=None, leaf=None):
     """``T @ A`` with ``T`` lower-triangular ``(..., m, m)``."""
     m = T.shape[-2]
@@ -112,6 +117,7 @@ def mul_ta(T, A, precision=None, leaf=None):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+@config.pin_matmul_precision
 def syrk_nt(A, precision=None, leaf=None):
     """``A @ A^T`` (symmetric): lower blocks once, mirrored."""
     p = A.shape[-2]
@@ -137,6 +143,7 @@ def auto_nb(n, leaf=1024):
     return 1
 
 
+@config.pin_matmul_precision
 def syrk_tn_lower(T, precision=None, nb=8):
     """``T^T @ T`` for LOWER-triangular ``T`` ``(..., n, n)``.
 

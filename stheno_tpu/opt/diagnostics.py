@@ -48,7 +48,11 @@ def potential_scale_reduction(x):
     B = half * chain_means.var(ddof=1)
     var_plus = (half - 1) / half * W + B / half
     if W == 0:
-        return 1.0
+        # Zero within-chain variance: chains stuck at different values is
+        # the WORST case (R-hat -> inf), not perfect mixing; all chains
+        # stuck at the same constant is undiagnosable (NaN — any
+        # ``rhat < gate`` check then fails loudly rather than passing).
+        return float("inf") if B > 0 else float("nan")
     return float(np.sqrt(var_plus / W))
 
 
@@ -76,18 +80,24 @@ def effective_sample_size(x):
     # rho_t = 1 - (W - mean_acov_t) / var_plus.
     rho = 1.0 - (W - mean_acov) / var_plus
     rho[0] = 1.0
-    # Geyer: sum consecutive pairs while positive, enforce monotone
-    # non-increasing pair sums.
-    tau = 0.0
+    # Geyer initial positive + monotone sequence on the EVEN-ODD pairs
+    # P_k = rho_{2k} + rho_{2k+1} (so P_0 = 1 + rho_1 >= 0 always):
+    # sum pairs while positive with non-increasing enforcement, then
+    # tau = -1 + 2 sum_k P_k. The off-by-one pairing (rho_1 + rho_2, ...)
+    # breaks Geyer's positivity guarantee — an oscillating chain's first
+    # pair can be negative, truncating at tau = 0 and overestimating ESS
+    # ~2x (r4 self-review finding).
+    pair_sum = 0.0
     prev_pair = np.inf
-    t = 1
+    t = 0
     while t + 1 < n:
         pair = rho[t] + rho[t + 1]
         if pair < 0:
             break
         pair = min(pair, prev_pair)
-        tau += pair
+        pair_sum += pair
         prev_pair = pair
         t += 2
-    ess = c * n / (1.0 + 2.0 * tau)
+    tau = max(-1.0 + 2.0 * pair_sum, 1.0 / (c * n))
+    ess = c * n / tau
     return float(min(ess, c * n))

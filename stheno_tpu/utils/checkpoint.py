@@ -87,6 +87,19 @@ def load_pytree(path, like, *, strict=False):
             f"  template: {_tree_paths(like)}"
         )
     if stored_treedef is not None and stored_treedef != str(treedef):
+        if stored_paths is None:
+            # Legacy checkpoint (no key-path fingerprint): the repr
+            # mismatch is the ONLY structural evidence we have, so it
+            # stays a hard error — softening it here would unflatten the
+            # leaves into the wrong slots of a genuinely different
+            # structure and silently corrupt a resumed run (r4
+            # self-review finding).
+            raise ValueError(
+                "Checkpoint treedef repr does not match the template and "
+                "the checkpoint predates key-path fingerprints, so the "
+                "structures cannot be confirmed compatible.\n"
+                f"  stored:   {stored_treedef}\n  template: {treedef}"
+            )
         msg = (
             "Checkpoint treedef repr does not match the template, but the "
             "leaf key paths do — most likely a JAX/optax version change "

@@ -207,9 +207,12 @@ def resumable_minimise(
                     history.extend(float(v) for v in np.asarray(vals))
                 first, last = step, step + k - 1
                 step += k
+                # (The final checkpoint at step == steps is saved by the
+                # per-step tail below — chain mode only runs while
+                # step + k <= steps, so `last` never reaches `steps`.)
                 if any(
                     s % checkpoint_every == 0 for s in range(first, last + 1)
-                ) or last == steps:
+                ):
                     # The last VALIDATED state of the chain (its final
                     # step's pre-update params — the produced state is
                     # only validated by the next evaluation).

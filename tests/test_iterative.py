@@ -840,3 +840,37 @@ def test_amortised_posterior_serving_bundle():
     )
     # Solver health is surfaced.
     assert float(np.asarray(post.solve_info["rel_residual"])) < 1e-6
+
+
+def test_cached_posterior_mean_var_fused_and_no_retrace():
+    """Fused mean+var query matches the separate paths, and the serving
+    bundle quantises query sizes so distinct batch sizes within a bucket
+    share one compiled program (r4 self-review findings)."""
+    from stheno_tpu.iterative import AmortisedPosterior
+
+    x, y = _setup(120)
+    kernel_fn = lambda p: EQ()
+    post = AmortisedPosterior(
+        kernel_fn, None, x, y, 0.1, rank=120,
+        key=jax.random.PRNGKey(0), cg_tol=1e-10, var_cg_tol=1e-8,
+        var_max_cg_iters=200, block=64, chunk=32,
+    )
+    x_new = jnp.linspace(0.3, 9.7, 41)
+    mean_f, var_f = post.mean_var(x_new)
+    np.testing.assert_allclose(
+        np.asarray(mean_f), np.asarray(post.mean(x_new)), rtol=1e-6,
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_f), np.asarray(post.var(x_new)), rtol=1e-6,
+        atol=1e-10,
+    )
+    # Distinct sizes inside the same chunk bucket -> one trace.
+    before = post._mean_var_fn._cache_size()
+    post.mean_var(jnp.linspace(0, 10, 40))  # Same bucket as 41 (chunk 32).
+    post.mean_var(jnp.linspace(0, 10, 63))
+    assert post._mean_var_fn._cache_size() == before, (
+        "query sizes within one chunk bucket must not retrace"
+    )
+    post.mean_var(jnp.linspace(0, 10, 65))  # New bucket: one new trace.
+    assert post._mean_var_fn._cache_size() == before + 1

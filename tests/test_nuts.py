@@ -172,3 +172,39 @@ def test_nuts_on_gp_posterior_mixes():
     # on chain randomisation).
     noise_mean = float(np.exp(np.asarray(samples["log_noise"])).mean())
     assert 0.003 < noise_mean < 0.6, noise_mean
+
+
+def test_diagnostics_degenerate_and_pairing():
+    """r4 self-review regressions: (a) chains stuck at DIFFERENT constants
+    must report catastrophic R-hat (inf), not 1.0; all stuck at the SAME
+    constant is undiagnosable (NaN) so gates fail loudly; (b) Geyer
+    even-odd pairing — an oscillating chain's ESS must reflect
+    tau_int > 1, not truncate at the first (negative) wrong-offset pair."""
+    import numpy as np
+
+    from stheno_tpu.opt import effective_sample_size, potential_scale_reduction
+
+    stuck_diff = np.stack([np.full(100, 1.0), np.full(100, 3.0)])
+    assert np.isinf(potential_scale_reduction(stuck_diff))
+    stuck_same = np.stack([np.full(100, 2.0), np.full(100, 2.0)])
+    assert np.isnan(potential_scale_reduction(stuck_same))
+    assert not potential_scale_reduction(stuck_same) < 1.3  # Gate fails loudly.
+
+    # Strongly positively autocorrelated AR(1): ESS must be well below the
+    # sample count (the wrong pairing overestimated it ~2x when rho's
+    # wrong-offset first pair went negative).
+    r = np.random.RandomState(0)
+    n = 4000
+    z = np.zeros(n)
+    for t in range(1, n):
+        z[t] = 0.9 * z[t - 1] + r.randn()
+    ess = effective_sample_size(z[None, :])
+    # tau_int for AR(1) with phi=0.9 is (1+phi)/(1-phi) = 19.
+    assert n / 30 < ess < n / 10
+    # Antithetic (negatively autocorrelated) chain: ESS stays finite and
+    # positive, and the Geyer P_0 = 1 + rho_1 >= 0 guarantee means the
+    # sum cannot truncate to tau <= 0.
+    anti = np.empty(n)
+    anti[0::2], anti[1::2] = z[: n // 2], -z[: n // 2]
+    ess_anti = effective_sample_size(anti[None, :])
+    assert 0 < ess_anti <= n

@@ -56,3 +56,27 @@ def test_step_metrics():
     np.testing.assert_allclose(rec["grad_norm"], 2.0)
     assert "tflops_per_s" in rec
     assert len(m.records) == 1
+
+
+def test_legacy_checkpoint_treedef_mismatch_hard_errors(tmp_path):
+    """r4 self-review regression: a pre-path-fingerprint checkpoint (only
+    __treedef__ stored) whose repr mismatches the template must HARD
+    error — without key paths there is no evidence the structures match,
+    and unflattening into different slots silently corrupts a resume."""
+    import json
+
+    tree = {"a": jnp.arange(3.0), "b": jnp.ones(2)}
+    path = str(tmp_path / "legacy.npz")
+    save_pytree(path, tree)
+    # Strip the key-path fingerprint to simulate the r3 on-disk format.
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files if k != "__paths__"}
+    np.savez(path, **arrays)
+
+    # Same structure still loads.
+    out = load_pytree(path, {"a": jnp.zeros(3), "b": jnp.zeros(2)})
+    np.testing.assert_allclose(np.asarray(out["a"]), [0, 1, 2])
+
+    # Same leaf count, different key layout: must raise, not warn.
+    with pytest.raises(ValueError, match="predates key-path"):
+        load_pytree(path, {"x": jnp.zeros(3), "y": jnp.zeros(2)})
