@@ -23,7 +23,14 @@ __all__ = ["StepMetrics", "trace", "exact_gp_flops"]
 def exact_gp_flops(n, d=1, grad=True):
     """FLOPs of an exact-GP NLML step at ``n`` points: Gram (2n^2 d),
     Cholesky (n^3/3), triangular solves (2n^2); the analytic gradient adds a
-    triangular inversion + matmul (~4n^3/3 + n^3)."""
+    triangular inversion + matmul (~4n^3/3 + n^3).
+
+    This is the STANDARD-dense-algorithm count, used as a fixed normaliser
+    for cross-round TFLOP/s comparisons — the library's structure-aware
+    trmm/syrk products (``ops/trimul.py``, r4) execute fewer MACs than
+    this count assumes, so "roofline TF/s" above the measured HIGHEST
+    square-GEMM rate (~30-31 TF/s on v5e) means less work done, not
+    faster GEMMs."""
     fwd = 2 * n * n * d + n**3 / 3 + 2 * n * n
     if grad:
         fwd += n**3 / 2 + n**3  # L^{-1} by blocked solve + K^{-1} matmul.
