@@ -439,7 +439,11 @@ def bench_opt_steps(dtype):
             g = GP(s2 * EQ().stretch(ell))
             return -g.measure.logpdf(g(x, 0.1), y)
 
-        minimise_adam(f, vs, iters=2, rate=1e-3, steps_per_dispatch=spd)
+        # Warm up BOTH programs at full chain length (a k-step lax.scan
+        # chain is its own compile; iters < spd would leave it to the
+        # timed region — measured 2x distortion at k=50).
+        minimise_adam(f, vs, iters=2 * spd, rate=1e-3,
+                      steps_per_dispatch=spd)
         t0 = time.perf_counter()
         minimise_adam(f, vs, iters=iters, rate=1e-3, steps_per_dispatch=spd)
         return iters / (time.perf_counter() - t0)
