@@ -315,9 +315,13 @@ def bench_iterative_262k(dtype):
     # is unchanged).
     from stheno_tpu.iterative import cached_posterior_var, variance_cache
 
+    # rank 256 + CG refine: agrees with the rank-512 cache to 6.4e-5 at
+    # half the build cost (r4 sweep, scripts/out/r4_exp6.log — the error
+    # is tail-dominated, so even rank 128 matches to 1.2e-4 on this
+    # fast-decaying EQ spectrum).
     build_cache = jax.jit(
         lambda p, key: variance_cache(
-            kf, p, x, 0.1, rank=512, key=key, power_iters=2,
+            kf, p, x, 0.1, rank=256, key=key, power_iters=2,
             refine=True, cg_tol=1e-3, max_cg_iters=20, block=4096,
         )
     )
