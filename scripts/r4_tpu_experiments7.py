@@ -56,11 +56,19 @@ def main():
 
     try:
         t0 = time.perf_counter()
-        sample_fn, _ = pathwise_sampler(
-            EQ(), x, y, 0.01, jax.random.PRNGKey(0),
+        # noise=0.1: the f32 validity region at N=262k requires
+        # noise >~ ||K||*eps*sqrt(N) ~ 0.1 (docs/scaling.md); the first
+        # pass used 0.01 and the whitened CG stalled -> junk draws with
+        # no signal, which motivated the loud stall warning now in
+        # pathwise_sampler (this rerun exercises it end-to-end).
+        sample_fn, _, cg_info = pathwise_sampler(
+            EQ(), x, y, 0.1, jax.random.PRNGKey(0),
             num_samples=8, num_features=2048, solver="cg",
             cg_tol=1e-4, max_cg_iters=200, precond_rank=64, block=8192,
+            return_info=True,
         )
+        put("pathwise262k_cg_rel_residual", float(cg_info["rel_residual"]))
+        put("pathwise262k_cg_iters", int(cg_info["iters"]))
         x_new = jnp.linspace(-1.0, 11.0, 4096, dtype=dtype)
         draws = sample_fn(x_new)
         jax.block_until_ready(draws)

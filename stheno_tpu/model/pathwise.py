@@ -51,6 +51,7 @@ def pathwise_sampler(
     precond_rank=64,
     mesh=None,
     axis="data",
+    return_info=False,
 ):
     """Build posterior function draws for an exact GP.
 
@@ -72,7 +73,12 @@ def pathwise_sampler(
     Returns:
         ``(sample_fn, key)`` — ``sample_fn(x_new)`` evaluates all draws at
         ``x_new``, returning ``(n_new, num_samples)``. The draws are fixed:
-        calling ``sample_fn`` twice evaluates the *same* functions.
+        calling ``sample_fn`` twice evaluates the *same* functions. With
+        ``return_info=True``, ``(sample_fn, key, cg_info)`` where
+        ``cg_info`` is the update solve's health dict (``iters``,
+        ``rel_residual``; ``None`` for the dense solver) — check it when
+        building under an outer ``jit``, where the eager stall warning
+        cannot fire.
     """
     x = jnp.asarray(x)
     x2 = x[:, None] if x.ndim == 1 else x
@@ -88,6 +94,7 @@ def pathwise_sampler(
     eps = jnp.sqrt(noise) * jax.random.normal(k_eps, (n, num_samples), y.dtype)
     resid = y[:, None] - prior_obs - eps
 
+    cg_info = None
     if solver == "chol":
         K = add(
             as_matrix(pairwise(kernel, x2)), fill_diag(noise, n)
@@ -120,10 +127,30 @@ def pathwise_sampler(
             solver = make_whitened_solver(
                 mv_raw, x2.shape[0], noise, precond_rank, dtype=resid.dtype
             )
-            v, _ = solver(resid, tol=cg_tol, max_iters=max_cg_iters)
+            v, cg_info = solver(resid, tol=cg_tol, max_iters=max_cg_iters)
         else:
-            v, _ = batched_cg(
+            v, cg_info = batched_cg(
                 mv, resid, tol=cg_tol, max_iters=max_cg_iters
+            )
+        # Loud on a stall (round-1 lesson, extended here in r4: a stalled
+        # solve fed every draw junk update weights with no signal — the
+        # f32 validity region at extreme N requires noise >~ ||K|| eps
+        # sqrt(N), see docs/scaling.md "Training loops"). The build runs
+        # eagerly in the usual case, so a host-side warning works; under
+        # an outer trace the caller should check the returned info
+        # (``return_info=True``) instead.
+        rel = cg_info["rel_residual"]
+        if not isinstance(rel, jax.core.Tracer) and float(rel) > cg_tol:
+            import warnings
+
+            warnings.warn(
+                f"pathwise_sampler: CG STALLED — rel residual "
+                f"{float(rel):.3e} > tol {cg_tol:.1e} after "
+                f"{int(cg_info['iters'])} iterations; the draws' update "
+                f"weights are unreliable. Raise noise (f32 validity needs "
+                f"noise >~ ||K||*eps*sqrt(N)), the preconditioner rank, or "
+                f"max_cg_iters.",
+                stacklevel=2,
             )
     else:
         raise ValueError(f"Unknown solver {solver!r} (use 'chol' or 'cg').")
@@ -144,4 +171,11 @@ def pathwise_sampler(
 
     # Pin the closure: its GEMMs trace at call time, outside this function's
     # own pinned context.
-    return config.pin_matmul_precision(sample_fn), key
+    pinned = config.pin_matmul_precision(sample_fn)
+    if return_info:
+        # Solver-health dict of the shared update solve (None for the
+        # dense path): jit-composable callers check ``rel_residual``
+        # themselves — the host-side stall warning above cannot fire
+        # under a trace.
+        return pinned, key, cg_info
+    return pinned, key

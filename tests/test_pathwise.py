@@ -160,3 +160,41 @@ def test_pathwise_on_mesh():
         np.asarray(fn_mesh(x_new)), np.asarray(fn_one(x_new)),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_pathwise_cg_stall_warns_and_returns_info():
+    """r4: a stalled update solve must not silently feed junk weights to
+    every draw — the eager build warns loudly, and ``return_info=True``
+    surfaces the health dict for jitted builds."""
+    import warnings
+
+    import numpy as np
+
+    from stheno_tpu import EQ, pathwise_sampler
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(np.sort(r.rand(120)) * 10)
+    y = jnp.sin(x)
+    # Starve CG (1 iteration, impossible tol, no preconditioner) to force
+    # a stall deterministically.
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fn, _, info = pathwise_sampler(
+            EQ(), x, y, 0.1, jax.random.PRNGKey(0), num_samples=2,
+            solver="cg", cg_tol=1e-14, max_cg_iters=1, precond_rank=0,
+            return_info=True,
+        )
+    assert any("STALLED" in str(w.message) for w in rec)
+    assert float(info["rel_residual"]) > 1e-14
+
+    # Healthy solve: no warning, info surfaced.
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        fn, _, info = pathwise_sampler(
+            EQ(), x, y, 0.1, jax.random.PRNGKey(0), num_samples=2,
+            solver="cg", cg_tol=1e-8, max_cg_iters=500, precond_rank=40,
+            return_info=True,
+        )
+    assert not any("STALLED" in str(w.message) for w in rec)
+    assert float(info["rel_residual"]) <= 1e-8
+    assert fn(jnp.linspace(0, 10, 7)).shape == (7, 2)
