@@ -28,6 +28,8 @@ full measured matrix (BASELINE.md build targets):
   per-query-exact host-loop chunk schedule, 38-54 s — a different
   metric; its cost model is unchanged and documented in docs/scaling.md)
   — the north-star posterior gate.
+- ``pathwise_n262144_eval4096x8_s``: 8 coherent posterior function draws
+  (Matheron + random features) evaluated at 4,096 points, N=262,144.
 - ``dist_elbo_n1e6_m512_ms``: 1M-point VFE ELBO+gradient step.
 
 Timing: the TPU sits behind a network tunnel where each dispatch+fetch
@@ -356,6 +358,38 @@ def bench_iterative_262k(dtype):
     return out
 
 
+def bench_pathwise_262k(np_dtype):
+    """Pathwise posterior function draws at N=262,144 (the servable form
+    of GP uncertainty — Matheron's rule + random features): one shared
+    whitened CG solve for 8 draws, then each evaluation batch is two
+    matmuls. noise=0.1 sits inside the f32 validity region at this N
+    (noise >~ ||K|| eps sqrt(N) — the 0.01 first attempt stalled the CG
+    and now trips the loud warning; docs/scaling.md)."""
+    from stheno_tpu import EQ, pathwise_sampler
+
+    dtype = jnp.dtype(np_dtype)
+    n = 262_144
+    r = np.random.RandomState(0)
+    x = jnp.asarray(np.sort(r.rand(n).astype(np_dtype)) * 10)
+    y = jnp.sin(x) + 0.1 * jnp.asarray(r.randn(n).astype(np_dtype))
+    sample_fn, _, cg_info = pathwise_sampler(
+        EQ(), x, y, 0.1, jax.random.PRNGKey(0),
+        num_samples=8, num_features=2048, solver="cg",
+        cg_tol=1e-4, max_cg_iters=200, precond_rank=64, block=8192,
+        return_info=True,
+    )
+    assert float(cg_info["rel_residual"]) <= 1e-4
+    x_new = jnp.linspace(-1.0, 11.0, 4096, dtype=dtype)
+    draws = sample_fn(x_new)
+    jax.block_until_ready(draws)
+    assert bool(jnp.all(jnp.isfinite(draws)))
+    shifts = iter(np.linspace(0, 1e-6, 6))
+    t = _direct_time(
+        lambda: jax.block_until_ready(sample_fn(x_new + next(shifts))), 2
+    )
+    return {"pathwise_n262144_eval4096x8_s": round(t, 3)}
+
+
 def bench_structured_grids(np_dtype):
     """The beyond-reference structured-grid levers on the chip (VERDICT r3
     #4): O(N log N) circulant NLML+grad at N = 2^20 on a uniform grid, and
@@ -592,6 +626,7 @@ def main():
 
         suite.update(bench_iterative_262k(np_dtype))
         suite.update(bench_structured_grids(np_dtype))
+        suite.update(bench_pathwise_262k(np_dtype))
         suite.update(bench_opt_steps(dtype))
         try:
             suite.update(bench_nuts(dtype))
