@@ -140,7 +140,10 @@ def pathwise_sampler(
         # an outer trace the caller should check the returned info
         # (``return_info=True``) instead.
         rel = cg_info["rel_residual"]
-        if not isinstance(rel, jax.core.Tracer) and float(rel) > cg_tol:
+        # `not (rel <= tol)` rather than `rel > tol`: a NaN residual (fully
+        # diverged solve) must trip the warning too, and NaN compares
+        # False both ways.
+        if not isinstance(rel, jax.core.Tracer) and not (float(rel) <= cg_tol):
             import warnings
 
             warnings.warn(

@@ -23,7 +23,7 @@ __all__ = ["StepMetrics", "trace", "exact_gp_flops"]
 def exact_gp_flops(n, d=1, grad=True):
     """FLOPs of an exact-GP NLML step at ``n`` points: Gram (2n^2 d),
     Cholesky (n^3/3), triangular solves (2n^2); the analytic gradient adds a
-    triangular inversion + matmul (~4n^3/3 + n^3).
+    triangular inversion + matmul (n^3/2 + n^3, matching the code below).
 
     This is the STANDARD-dense-algorithm count, used as a fixed normaliser
     for cross-round TFLOP/s comparisons — the library's structure-aware
