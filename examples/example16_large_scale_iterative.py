@@ -84,7 +84,10 @@ for step in range(8):
 # Serve the posterior, amortised (r4): ONE weights solve + ONE variance
 # cache, then every query batch is GEMM work only — the recommended
 # serving path (at 262k: ~0.07 s for 2048 variance points vs 38 s for
-# the per-query-exact CG path).
+# the per-query-exact CG path). The rank-32 training state seeds the
+# weights-solve preconditioner; the variance basis is WIDENED to the
+# requested rank=256 from it (warm-started subspace sweep — the `key`
+# supplies the extra probe columns).
 from stheno_tpu.iterative import AmortisedPosterior
 
 state = eig_precond_state(kernel_fn, params, x, RANK, init=state[0], block=BLOCK)

@@ -80,7 +80,11 @@ class AmortisedPosterior:
             ``precond_state`` is given).
         precond_state: optional ``(U, lam)`` from ``eig_precond_state`` —
             shared with the training loop; reused for both the weights
-            solve's preconditioner and the variance basis.
+            solve's preconditioner and the variance basis. When its width
+            is below ``rank`` and a ``key`` is given, the variance basis
+            is widened to ``rank`` (warm-started subspace sweep — see
+            :func:`variance_cache`); narrower with no ``key`` warns and
+            builds at the state's width.
         cg_tol / max_cg_iters: weights-solve tolerances.
         refine / var_cg_tol / var_max_cg_iters: variance-cache refinement
             controls (see :func:`variance_cache`).
@@ -104,21 +108,26 @@ class AmortisedPosterior:
             precond_state[0].shape[-1] if precond_state is not None
             else min(64, rank)
         )
+        # The (n, rank) preconditioner state is passed as a jit ARGUMENT,
+        # never closed over: a closed-over array is serialised into the
+        # remote compile request on the axon tunnel (HTTP 413 above
+        # ~100 MB — ADVICE r4 #1) and bakes a large constant into the HLO
+        # everywhere else.
         self.alpha, self.solve_info = jax.jit(
-            lambda p, xx, yy: posterior_weights(
+            lambda p, xx, yy, ps: posterior_weights(
                 kernel_fn, p, xx, yy, noise, cg_tol=cg_tol,
                 max_cg_iters=max_cg_iters, precond_rank=precond_rank,
-                precond_state=precond_state, block=block,
+                precond_state=ps, block=block,
             )
-        )(params, self.x, jnp.asarray(y))
+        )(params, self.x, jnp.asarray(y), precond_state)
         self.cache = jax.jit(
-            lambda p, xx: variance_cache(
+            lambda p, xx, ps: variance_cache(
                 kernel_fn, p, xx, noise, rank=rank, key=key,
-                precond_state=precond_state, power_iters=power_iters,
+                precond_state=ps, power_iters=power_iters,
                 refine=refine, cg_tol=var_cg_tol,
                 max_cg_iters=var_max_cg_iters, block=block,
             )
-        )(params, self.x)
+        )(params, self.x, precond_state)
         self._mean_fn = jax.jit(
             lambda p, xx, a, xn: cached_posterior_mean(
                 kernel_fn, p, xx, a, xn, block=block
@@ -142,8 +151,15 @@ class AmortisedPosterior:
         return _pad_rows(xn, mult)
 
     def mean(self, x_new):
-        """Posterior mean at ``x_new`` — blocked cross-Gram matvec."""
-        xn, m = self._prep(x_new, self.block)
+        """Posterior mean at ``x_new`` — blocked cross-Gram matvec.
+
+        Queries are bucketed to a multiple of ``min(block, 256)`` rows,
+        not the full Gram row-block: quantising a few-point query up to
+        ``block`` (4096) made it pay the full ``n x 4096`` cross-Gram —
+        up to ~400x the needed GEMM work (ADVICE r4 #3).
+        ``cached_posterior_mean`` clamps its internal block to the padded
+        size, so compile bucketing is preserved."""
+        xn, m = self._prep(x_new, min(self.block, 256))
         return self._mean_fn(self.params, self.x, self.alpha, xn)[:m]
 
     def var(self, x_new):

@@ -110,9 +110,15 @@ def variance_cache(
         key: PRNG key for the subspace probes (required unless
             ``precond_state`` is given).
         precond_state: optional ``(U, lam)`` from
-            ``nlml.eig_precond_state`` — reused as the basis (one extra
-            power sweep refreshes Ritz accuracy when ``power_iters > 1``
-            is requested and the state is stale; here it is used as-is).
+            ``nlml.eig_precond_state``. Used as the basis as-is when its
+            width is >= ``rank``. When it is NARROWER than ``rank`` and a
+            ``key`` is given, the basis is WIDENED: ``rank - r0`` fresh
+            Gaussian columns are appended to the state's ``U`` and
+            ``power_iters`` subspace sweeps re-converge the joint block
+            (warm-started, so cheaper than a cold build at the same
+            rank). Narrower with no ``key`` warns and builds at the
+            state's width — silently serving a lower-rank cache than
+            requested was ADVICE r4 finding #2.
         power_iters: subspace-iteration sweeps when building fresh
             (2 by default — variance wants tighter Ritz pairs than the
             preconditioner, where staleness only costs iterations).
@@ -144,6 +150,26 @@ def variance_cache(
     mv = lambda v: kernel_matvec(k, x, v, block=block)
     if precond_state is not None:
         U, lam = precond_state
+        r0 = U.shape[-1]
+        if r0 < min(rank, n):
+            if key is None:
+                import warnings
+
+                warnings.warn(
+                    f"variance_cache: precond_state has rank {r0} < "
+                    f"requested rank {rank} and no `key` was given — "
+                    f"building the cache at rank {r0}. Pass `key` to "
+                    f"widen the basis, or rank={r0} to silence.",
+                    stacklevel=2,
+                )
+            else:
+                # Widen: warm-start the subspace iteration from the
+                # existing basis plus fresh probe columns.
+                extra = jax.random.normal(
+                    key, (n, min(rank, n) - r0), x.dtype
+                )
+                om = jnp.concatenate([U, extra], axis=1)
+                U, lam = eig_preconditioner_factors(mv, om, power_iters)
     else:
         if key is None:
             raise ValueError(

@@ -774,6 +774,80 @@ def test_variance_cache_reuses_precond_state_and_requires_key():
         variance_cache(kernel_fn, None, x, 0.05)
 
 
+def test_variance_cache_widens_narrow_precond_state():
+    """A precond_state NARROWER than the requested rank is widened (with
+    a key) or used as-is with a loud warning (without) — `rank` must
+    never be silently ignored (ADVICE r4 #2)."""
+    from stheno_tpu.iterative import (
+        cached_posterior_var,
+        eig_precond_state,
+        variance_cache,
+    )
+
+    x, y = _setup(100, seed=11)
+    kernel_fn = lambda p: EQ()
+    narrow = eig_precond_state(
+        kernel_fn, None, x, rank=16, key=jax.random.PRNGKey(3),
+        power_iters=2, block=64,
+    )
+    # With a key: the basis is widened to the requested rank — full rank
+    # here, so the cache becomes exact to CG tolerance.
+    cache = variance_cache(
+        kernel_fn, None, x, 0.05, rank=100, key=jax.random.PRNGKey(4),
+        precond_state=narrow, power_iters=2, refine=True, cg_tol=1e-10,
+        max_cg_iters=100, block=64,
+    )
+    assert cache.U.shape[-1] == 100
+    x_new = jnp.linspace(0, 10, 23)
+    var = cached_posterior_var(kernel_fn, None, x, cache, x_new)
+    f = GP(EQ())
+    post = f | (f(x, 0.05), y)
+    _, var_ref = post(x_new).marginals()
+    np.testing.assert_allclose(
+        np.asarray(var), np.asarray(var_ref), rtol=1e-6, atol=1e-10
+    )
+    # Without a key: warns and builds at the state's width.
+    with pytest.warns(UserWarning, match="rank 16"):
+        cache16 = variance_cache(
+            kernel_fn, None, x, 0.05, rank=100, precond_state=narrow,
+            refine=True, block=64,
+        )
+    assert cache16.U.shape[-1] == 16
+
+
+def test_amortised_posterior_small_mean_query_bucket():
+    """Few-point mean queries must not be padded to the full Gram
+    row-block (ADVICE r4 #3): the bucket is min(block, 256)."""
+    from stheno_tpu.iterative import AmortisedPosterior
+
+    x, y = _setup(120)
+    kernel_fn = lambda p: EQ()
+    post = AmortisedPosterior(
+        kernel_fn, None, x, y, 0.1, rank=120,
+        key=jax.random.PRNGKey(0), cg_tol=1e-10, var_cg_tol=1e-8,
+        var_max_cg_iters=200, block=4096, chunk=32,
+    )
+    xq = jnp.linspace(0, 10, 7)
+    mean = post.mean(xq)
+    assert mean.shape == (7,)
+    f = GP(EQ())
+    ref = f | (f(x, 0.1), y)
+    mean_ref, _ = ref(xq).marginals()
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(mean_ref), rtol=1e-5, atol=1e-7
+    )
+    # The padded batch handed to the jitted mean function is the 256
+    # bucket, not the 4096 row-block.
+    padded, true_m = post._prep(xq, min(post.block, 256))
+    assert padded.shape[0] == 256 and true_m == 7
+    xq2 = jnp.linspace(0, 10, 250)
+    np.testing.assert_allclose(
+        np.asarray(post.mean(xq2)),
+        np.asarray(ref(xq2).marginals()[0]),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
 def test_posterior_weights_cached_mean_amortised():
     """The amortised serving split (r4): ``posterior_weights`` once +
     ``cached_posterior_mean`` per query batch matches the dense posterior
