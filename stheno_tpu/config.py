@@ -25,6 +25,8 @@ __all__ = [
     "set_matmul_precision",
     "matmul_precision_ctx",
     "pin_matmul_precision",
+    "accurate_dists",
+    "accurate_dists_enabled",
 ]
 
 #: Global jitter override. ``None`` means "dtype-aware default".
@@ -155,6 +157,38 @@ def pin_matmul_precision(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+#: Trace-time flag: when set, ``kernels.pw_dists2`` computes squared
+#: distances by direct differencing ``sum_d (x_id - y_jd)^2`` instead of
+#: the MXU-friendly matmul identity ``||x||^2 + ||y||^2 - 2 x.y``. The
+#: identity catastrophically cancels near the diagonal (absolute error
+#: ``eps * ||x||^2``: with inputs spanning [0, 10] that is ~100 eps * K_ij
+#: of *structured* entry error — the measured driver of the computed
+#: Gram's indefiniteness at scale, CLAUDE.md "fixed jitter NaNs"); direct
+#: differencing is relatively accurate at every distance for d elementwise
+#: passes over the tile. Used by the compensated matvec
+#: (``iterative/compensated.py``); enable explicitly for any small-noise
+#: f32 Gram build.
+_accurate_dists = False
+
+
+@contextlib.contextmanager
+def accurate_dists(enable=True):
+    """Context manager: cancellation-free pairwise distances (trace-time
+    static; see ``_accurate_dists``)."""
+    global _accurate_dists
+    prev = _accurate_dists
+    _accurate_dists = bool(enable)
+    try:
+        yield
+    finally:
+        _accurate_dists = prev
+
+
+def accurate_dists_enabled():
+    """Whether the cancellation-free distance path is active."""
+    return _accurate_dists
 
 
 def jitter(dtype) -> float:

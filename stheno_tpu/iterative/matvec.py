@@ -50,6 +50,7 @@ def kernel_matvec(
     x_cols=None,
     symmetric=None,
     precision="high",
+    compensated=False,
 ):
     """Compute ``(k(x, x_cols) [+ noise I]) @ v`` matrix-free.
 
@@ -79,6 +80,17 @@ def kernel_matvec(
             build* (distance matmuls) stays at the pinned library default
             regardless. Pass ``None`` to inherit
             ``config.matmul_precision``.
+        compensated: two-float compensated application (r5; see
+            ``iterative/compensated.py``): the Gram tiles are built with
+            cancellation-free distances and applied through the
+            Ozaki-split double-float GEMM, dropping the application
+            error from ``~eps*sqrt(N)*||K||`` to ``~1e-10`` relative.
+            This is what makes CG converge below the plain-f32 noise
+            wall ``noise >~ ||K||*eps*sqrt(N)`` (~0.1 at N=262,144) —
+            measured ~2-4x the plain matvec cost. Incompatible with
+            ``tile_dtype``/``symmetric``; the ``precision`` argument is
+            ignored on the compensated tile product (its slice GEMMs
+            carry their own exactness guarantees).
         symmetric: exploit ``K = K^T`` in the square case — each
             off-diagonal (block, block) tile is built once and applied both
             ways, and the operator becomes *exactly* symmetric. Measured
@@ -111,6 +123,49 @@ def kernel_matvec(
     x_pad = jnp.zeros((n_pad, x.shape[1]), x.dtype).at[:n].set(x)
     x_blocks = x_pad.reshape(nb, block, x.shape[1])
     acc_dtype = v2.dtype
+
+    if compensated:
+        if tile_dtype is not None or (symmetric and square and nb > 1):
+            raise ValueError(
+                "compensated matvec is incompatible with tile_dtype / "
+                "symmetric."
+            )
+        from .compensated import (
+            compensated_matmul,
+            df32_pairwise,
+            two_prod,
+            two_sum,
+        )
+
+        def comp_body(carry, x_b):
+            # Prefer the double-float tile (entry error ~eps * K — needed
+            # for extreme-kappa solves); fall back to a plain
+            # cancellation-free build for kernels without a df32 rule.
+            tile = df32_pairwise(k, x_b, xc)
+            if tile is None:
+                with config.accurate_dists():
+                    K_b = jnp.asarray(dense(pairwise(k, x_b, xc)))
+                K_lo = None
+            else:
+                K_b, K_lo = tile
+            hi, lo = compensated_matmul(K_b, v2, fold=False, A_lo=K_lo)
+            return carry, (hi, lo)
+
+        _, (hi_b, lo_b) = lax.scan(comp_body, None, x_blocks)
+        hi = hi_b.reshape(n_pad, v2.shape[1])[:n]
+        lo = lo_b.reshape(n_pad, v2.shape[1])[:n]
+        if noise is not None:
+            if x_cols is not None:
+                raise ValueError(
+                    "noise only applies to the square (x_cols=None) case."
+                )
+            noise_arr = jnp.asarray(noise)
+            noise_col = noise_arr[:, None] if noise_arr.ndim == 1 else noise_arr
+            nv_hi, nv_lo = two_prod(noise_col, v2)
+            hi, err = two_sum(hi, nv_hi)
+            lo = lo + err + nv_lo
+        out = hi + lo
+        return out[:, 0] if v_in.ndim == 1 else out
 
     prec = _tile_precision(precision)
     if symmetric and square and nb > 1:

@@ -144,6 +144,7 @@ def iterative_nlml(
     surrogate_tile_dtype=None,
     block=4096,
     return_info=False,
+    compensated="auto",
 ):
     """Stochastic estimate of the exact-GP NLML, differentiable w.r.t.
     ``params``, ``noise``, ``y`` (and ``x``).
@@ -174,6 +175,15 @@ def iterative_nlml(
     differentiates the f32 tile *build*, which bf16 GEMMs don't touch).
     Kept as plumbing for small-N experimentation only; leave ``None``
     for training.
+
+    ``compensated``: two-float matvec policy for the FORWARD CG/logdet
+    solves (the backward surrogate sweep stays on the plain
+    differentiable matvec — gradients are stochastic estimates whose
+    probe noise dominates eps-level tile rounding). ``"auto"`` resolves
+    host-side when ``noise`` and a supplied ``precond_state``'s Ritz
+    values are concrete (eager calls); under a training jit pass
+    ``True`` explicitly for small-noise problems — the stall warning
+    says when. See ``iterative/compensated.py``.
 
     ``return_info=True`` additionally returns solver-health diagnostics
     ``{"cg_iters", "cg_rel_residual", "cg_converged"}`` from the forward
@@ -206,6 +216,26 @@ def iterative_nlml(
             k2, (n, min(precond_rank, n)), dtype=y.dtype
         )
     matvec_fn = lambda k, xx, v, nz: kernel_matvec(k, xx, v, noise=nz, block=block)
+    from .compensated import resolve_compensated
+
+    if compensated in (False, None):
+        use_comp = False
+    elif compensated is True:
+        use_comp = True
+    else:  # "auto": resolvable only with a concrete precond_state + noise.
+        use_comp = resolve_compensated(
+            "auto",
+            noise,
+            precond_state[1] if precond_state is not None else 0.0,
+            n,
+            y.dtype,
+            True,
+        )
+    fwd_matvec_fn = None
+    if use_comp:
+        fwd_matvec_fn = lambda k, xx, v, nz: kernel_matvec(
+            k, xx, v, noise=nz, block=block, compensated=True
+        )
     surrogate_grad_fn = None
     if surrogate_tile_dtype is not None:
         smv = lambda k, xx, v, nz: kernel_matvec(
@@ -215,15 +245,18 @@ def iterative_nlml(
     val, info = _nlml(
         params, y, jnp.asarray(noise), x, u, om, precond_state, kernel_fn,
         matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters, slq_steps,
-        precond_rank, precond_method, precond_power_iters,
+        precond_rank, precond_method, precond_power_iters, fwd_matvec_fn,
     )
     return (val, info) if return_info else val
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15))
+@partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+)
 def _nlml(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
           surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps, precond_rank,
-          precond_method="pivoted", precond_power_iters=1):
+          precond_method="pivoted", precond_power_iters=1,
+          fwd_matvec_fn=None):
     """Shared stochastic-NLML core. Returns ``(nlml, info)`` with ``info``
     the forward-solve health dict (zero-cotangent under the VJP).
 
@@ -236,11 +269,13 @@ def _nlml(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
     ``surrogate_grad_fn(params, noise, x, U, w, alpha) -> (p_bar, noise_bar,
     x_bar)`` supplies the backward-pass surrogate gradient with
     ``w = P^{-1} z``; ``None`` selects the single-chip default (``jax.grad``
-    through ``matvec_fn`` of the fused ``[w, alpha]`` sweep)."""
+    through ``matvec_fn`` of the fused ``[w, alpha]`` sweep).
+    ``fwd_matvec_fn``: optional override for the FORWARD solves only
+    (the r5 compensated two-float matvec; never differentiated)."""
     (val, info), _ = _nlml_fwd(
         params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
         surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
-        precond_rank, precond_method, precond_power_iters,
+        precond_rank, precond_method, precond_power_iters, fwd_matvec_fn,
     )
     return val, info
 
@@ -248,7 +283,8 @@ def _nlml(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
 @config.pin_matmul_precision
 def _nlml_fwd(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
               surrogate_grad_fn, cg_tol, max_cg_iters, quad_steps,
-              precond_rank, precond_method, precond_power_iters):
+              precond_rank, precond_method, precond_power_iters,
+              fwd_matvec_fn=None):
     n = x.shape[0]
     k = kernel_fn(jax.tree.map(jax.lax.stop_gradient, params))
     noise_sg = jax.lax.stop_gradient(noise)
@@ -256,7 +292,8 @@ def _nlml_fwd(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
     x_sg = jax.lax.stop_gradient(x)
     u = jax.lax.stop_gradient(u)
 
-    mv = lambda v: matvec_fn(k, x_sg, v, noise_sg)
+    fwd_mv_fn = matvec_fn if fwd_matvec_fn is None else fwd_matvec_fn
+    mv = lambda v: fwd_mv_fn(k, x_sg, v, noise_sg)
 
     use_eig = pstate is not None or (
         precond_method == "eig" and bool(precond_rank) and precond_rank > 0
@@ -355,7 +392,8 @@ def _nlml_fwd(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
                 "tol {t:.1e} after {i} iterations; the NLML value and its "
                 "gradients are unreliable (see docs/scaling.md on the f32 "
                 "residual floor). Raise max_cg_iters, the preconditioner "
-                "rank, or the noise floor.",
+                "rank, the noise floor, or switch the solve onto the "
+                "two-float matvec (compensated=True).",
                 r=rel, t=cg_tol, i=iters,
             ),
         )
@@ -371,7 +409,7 @@ def _nlml_fwd(params, y, noise, x, u, om, pstate, kernel_fn, matvec_fn,
 @config.pin_matmul_precision
 def _nlml_bwd(kernel_fn, matvec_fn, surrogate_grad_fn, cg_tol, max_cg_iters,
               quad_steps, precond_rank, precond_method, precond_power_iters,
-              residuals, g):
+              fwd_matvec_fn, residuals, g):
     params, noise, x, alpha, U, w, om, pstate = residuals
     g = g[0]  # Cotangent of the NLML value; the health dict gets none.
     alpha = jax.lax.stop_gradient(alpha)
@@ -419,7 +457,8 @@ _nlml.defvjp(_nlml_fwd, _nlml_bwd)
 @config.pin_matmul_precision
 def posterior_weights(kernel_fn, params, x, y, noise, *,
                       cg_tol=1e-6, max_cg_iters=1000,
-                      precond_rank=64, precond_state=None, block=4096):
+                      precond_rank=64, precond_state=None, block=4096,
+                      compensated="auto"):
     """Representer weights ``alpha = (K + noise I)^{-1} y`` by matrix-free
     preconditioned CG — the one-time solve of the amortised serving path
     (r4): the weights do not depend on the test points, so serving many
@@ -429,7 +468,14 @@ def posterior_weights(kernel_fn, params, x, y, noise, *,
 
     ``precond_state``: optional prebuilt ``(U, lam)`` from
     :func:`eig_precond_state` — shares the preconditioner with other
-    posterior calls / the training loop instead of rebuilding it here."""
+    posterior calls / the training loop instead of rebuilding it here.
+
+    ``compensated``: two-float matvec policy for the CG solve
+    (``"auto"`` default — switches on below half the plain-f32 noise
+    wall ``||K||*eps*sqrt(n)`` when host-resolvable; see
+    ``iterative/compensated.py``). The r5 fix for small-noise serving at
+    extreme N: at N=262,144 with noise=0.01 the plain path stalls, the
+    compensated path converges."""
     k = kernel_fn(params)
     y = jnp.asarray(y)
     if (
@@ -441,9 +487,13 @@ def posterior_weights(kernel_fn, params, x, y, noise, *,
         # back to plain CG (the eigenbasis preconditioner assumes
         # P = noise I + U diag(lam) U^T).
         mv_raw = lambda v: kernel_matvec(k, x, v, block=block)
+        mv_comp = lambda v: kernel_matvec(
+            k, x, v, block=block, compensated=True
+        )
         solver = make_whitened_solver(
             mv_raw, jnp.asarray(x).shape[0], noise, precond_rank,
-            dtype=y.dtype, state=precond_state,
+            dtype=y.dtype, state=precond_state, mv_raw_comp=mv_comp,
+            compensated=compensated,
         )
         return solver(y, tol=cg_tol, max_iters=max_cg_iters)
     mv = lambda v: kernel_matvec(k, x, v, noise=noise, block=block)
@@ -509,7 +559,7 @@ def iterative_posterior_mean(kernel_fn, params, x, y, noise, x_new, *,
 def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
                             cg_tol=1e-6, max_cg_iters=1000,
                             precond_rank=64, precond_state=None, block=4096,
-                            chunk=512, mode="scan"):
+                            chunk=512, mode="scan", compensated="auto"):
     """Matrix-free posterior variance diagonal at ``x_new``:
     ``var_i = k(x*_i, x*_i) - k_*i^T (K + noise I)^{-1} k_*i``.
 
@@ -564,9 +614,13 @@ def iterative_posterior_var(kernel_fn, params, x, y, noise, x_new, *,
         or (precond_rank and precond_rank > 0)
     ) and jnp.ndim(noise) == 0:
         mv_raw = lambda v: kernel_matvec(k, x_arr, v, block=block)
+        mv_comp = lambda v: kernel_matvec(
+            k, x_arr, v, block=block, compensated=True
+        )
         solver = make_whitened_solver(
             mv_raw, x_arr.shape[0], noise, precond_rank, dtype=y_dtype,
-            state=precond_state,
+            state=precond_state, mv_raw_comp=mv_comp,
+            compensated=compensated,
         )
     else:
         mv = lambda v: kernel_matvec(k, x_arr, v, noise=noise, block=block)

@@ -135,10 +135,19 @@ def eig_preconditioner_factors(matvec, om, power_iters=1):
 
 
 @config.pin_matmul_precision
-def eig_preconditioner_ops(U, lam, noise, n):
+def eig_preconditioner_ops(U, lam, noise, n, *, compensated=False):
     """Preconditioner ops for ``P = noise I + U diag(lam) U^T`` with
     orthonormal ``U`` (n, r): returns ``(apply_P_inv, apply_P_half,
     apply_P_half_inv, logdet_P)``.
+
+    ``compensated=True`` routes every application through the two-float
+    :func:`~stheno_tpu.iterative.compensated.compensated_scaled_apply`:
+    at small noise the plain ``apply_half_inv`` cancels
+    ``sqrt((lam+noise)/noise)`` digits between its base and correction
+    terms, which caps the whitened CG's TRUE-residual floor at ~1e-3
+    regardless of the Gram matvec's accuracy (measured r5 repro) — the
+    compensated form restores an ~eps floor at ~6x the (n, r) GEMM
+    cost.
 
     All of them are exact in the eigenbasis: ``P``'s spectrum is
     ``lam + noise`` on ``span(U)`` and ``noise`` on its complement, so the
@@ -158,12 +167,20 @@ def eig_preconditioner_ops(U, lam, noise, n):
     half_coeff = jnp.sqrt(d) - sqrt_noise
     half_inv_coeff = 1.0 / jnp.sqrt(d) - 1.0 / sqrt_noise
 
-    def _apply(v, base, coeff):
-        squeeze = v.ndim == 1
-        v2 = v[:, None] if squeeze else v
-        Uv = U.T @ v2
-        out = v2 * base + U @ (coeff[:, None] * Uv)
-        return out[:, 0] if squeeze else out
+    if compensated:
+        from .compensated import compensated_scaled_apply
+
+        def _apply(v, base, coeff):
+            return compensated_scaled_apply(U, coeff, base, v)
+
+    else:
+
+        def _apply(v, base, coeff):
+            squeeze = v.ndim == 1
+            v2 = v[:, None] if squeeze else v
+            Uv = U.T @ v2
+            out = v2 * base + U @ (coeff[:, None] * Uv)
+            return out[:, 0] if squeeze else out
 
     def apply_inv(v):
         return _apply(v, 1.0 / noise, -inv_coeff)
@@ -200,7 +217,7 @@ def woodbury_preconditioner(L, noise):
 @config.pin_matmul_precision
 def make_whitened_solver(
     mv_raw, n, noise, rank, key=None, *, power_iters=1, dtype=None,
-    state=None,
+    state=None, mv_raw_comp=None, compensated="auto", comp_refine=1,
 ):
     """Factory for split-preconditioned CG solves of ``(K + noise I) X = B``
     — the f32-at-scale solve path shared by every matrix-free posterior
@@ -227,6 +244,28 @@ def make_whitened_solver(
     ``solve`` and read ``info["rel_residual_true"]`` (costs one extra
     matvec).
 
+    ``mv_raw_comp`` / ``compensated``: the small-noise escape hatch (r5).
+    ``mv_raw_comp`` applies ``K`` through the two-float compensated
+    matvec (``iterative/compensated.py``); ``compensated="auto"``
+    (default) switches the CG matvecs onto it when ``noise`` falls below
+    half the measured plain-f32 validity wall
+    ``||K|| * eps * sqrt(n)`` (resolved host-side from the state's top
+    Ritz value; under a trace the decision is undecidable and stays on
+    the plain path — pass ``True`` explicitly there). The preconditioner
+    build itself always runs the plain matvec: its errors only perturb
+    Ritz values relatively (~1e-3), which costs CG iterations, never
+    correctness.
+
+    ``comp_refine``: iterative-refinement passes appended to compensated
+    solves (default 1). The whitened CG's *recursive* residual drifts
+    from the true one through the f32 CG-vector arithmetic (inexact
+    Krylov), leaving a true-residual floor ~3e-4 at kappa(P) ~ 4e6 even
+    with exact operator applications (measured CPU repro); one restart —
+    true residual recomputed through the compensated matvec, then a
+    correction solve — multiplies the error by the solve's own
+    contraction, landing ~1e-6..1e-7. Costs one extra (shorter) CG
+    solve; ignored on the plain path.
+
     Requires scalar ``noise`` (the eigenbasis ops assume ``P = noise I +
     U diag(lam) U^T``)."""
     if jnp.ndim(noise) != 0:
@@ -244,14 +283,25 @@ def make_whitened_solver(
             key = jax.random.PRNGKey(0)
         om = jax.random.normal(key, (n, min(rank, n)), dtype)
         U, lam = eig_preconditioner_factors(mv_raw, om, power_iters)
-    _, _, phi, _ = eig_preconditioner_ops(U, lam, noise, n)
+    from .compensated import resolve_compensated
+
+    use_comp = resolve_compensated(
+        compensated, noise, lam, n, dtype, mv_raw_comp is not None
+    )
+    mv_use = mv_raw_comp if use_comp else mv_raw
+    _, _, phi, _ = eig_preconditioner_ops(
+        U, lam, noise, n, compensated=use_comp
+    )
     noise_arr = jnp.asarray(noise)
 
     def solve(rhs, *, tol=1e-6, max_iters=1000, true_residual=False,
               **cg_kwargs):
         def mv_white(v):
             pv = phi(v)
-            return phi(mv_raw(pv) + noise_arr * pv)
+            return phi(mv_use(pv) + noise_arr * pv)
+
+        def mv_full(v):
+            return mv_use(v) + noise_arr * v
 
         rhs = jnp.asarray(rhs)
         sol, info = batched_cg(
@@ -259,8 +309,22 @@ def make_whitened_solver(
             **cg_kwargs,
         )
         sol = phi(sol)
+        if use_comp:
+            # Iterative refinement: the compensated matvec makes the TRUE
+            # residual computable to ~eps * ||rhs||, so each restart
+            # contracts the solution error by the solve's own accuracy.
+            for _ in range(comp_refine):
+                resid = rhs - mv_full(sol)
+                dw, info_r = batched_cg(
+                    mv_white, phi(resid), tol=tol, max_iters=max_iters,
+                )
+                sol = sol + phi(dw)
+                merged = dict(info)
+                merged["iters"] = info["iters"] + info_r["iters"]
+                merged["rel_residual"] = info_r["rel_residual"]
+                info = merged
         if true_residual:
-            r = rhs - (mv_raw(sol) + noise_arr * sol)
+            r = rhs - mv_full(sol)
             info["rel_residual_true"] = jnp.max(
                 jnp.linalg.norm(jnp.atleast_2d(r.T).T, axis=0)
                 / jnp.maximum(
@@ -272,4 +336,6 @@ def make_whitened_solver(
     # Pinned so a direct (library-external) caller in an unpinned context
     # still gets exact-f32 whitening GEMMs (CLAUDE.md: every matmul-bearing
     # public entry point).
-    return config.pin_matmul_precision(solve)
+    solve = config.pin_matmul_precision(solve)
+    solve.compensated = use_comp  # Introspection: which matvec CG runs on.
+    return solve

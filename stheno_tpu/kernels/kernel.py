@@ -34,6 +34,7 @@ from ..matrix import (
     scale as mat_scale,
 )
 from .util import as_fn_output, num_elements_arr, uprank
+from .. import config
 
 __all__ = [
     "Kernel",
@@ -76,7 +77,20 @@ __all__ = [
 
 def pw_dists2(x, y):
     """Pairwise squared distances ``(..., n, m)`` between rows of
-    ``x (..., n, d)`` and ``y (..., m, d)`` via the matmul identity."""
+    ``x (..., n, d)`` and ``y (..., m, d)`` via the matmul identity.
+
+    Under ``config.accurate_dists()`` (trace-time) the matmul identity is
+    replaced by direct differencing — one elementwise pass per input
+    dimension — which is cancellation-free near the diagonal (the
+    identity loses ``eps * ||x||^2`` absolutely there, the measured
+    driver of computed-Gram indefiniteness at small noise; see
+    ``iterative/compensated.py``)."""
+    if config.accurate_dists_enabled():
+        d2 = None
+        for di in range(x.shape[-1]):
+            dd = x[..., :, None, di] - y[..., None, :, di]
+            d2 = dd * dd if d2 is None else d2 + dd * dd
+        return d2
     if x is y:
         norms = jnp.sum(x * x, axis=-1)
         inner = jnp.matmul(x, jnp.swapaxes(x, -1, -2))

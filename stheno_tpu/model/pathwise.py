@@ -52,6 +52,7 @@ def pathwise_sampler(
     mesh=None,
     axis="data",
     return_info=False,
+    compensated="auto",
 ):
     """Build posterior function draws for an exact GP.
 
@@ -69,6 +70,15 @@ def pathwise_sampler(
         block: row-block size for the streamed cross-Gram evaluation.
         mesh: optional ``jax.sharding.Mesh`` — distributes the CG matvecs
             and every sample evaluation row-wise over ``axis``.
+        compensated: two-float matvec policy for the single-chip whitened
+            CG solve (``"auto"`` default: switches on below half the
+            plain-f32 noise wall ``||K||*eps*sqrt(n)``; see
+            ``iterative/compensated.py``). The r5 fix turning the r4
+            small-noise stall WARNING into a working path — at
+            N=262,144 with noise=0.01 the plain update solve stalls and
+            the draws come out O(1000)x wrong; compensated converges.
+            Not available on the mesh path (pass a larger noise there,
+            or solve single-chip).
 
     Returns:
         ``(sample_fn, key)`` — ``sample_fn(x_new)`` evaluates all draws at
@@ -122,10 +132,16 @@ def pathwise_sampler(
                 mv_raw = lambda u: _skm(
                     kernel, x2, u, mesh, axis=axis, block=block
                 )
+                mv_comp = None  # No compensated sharded matvec (yet).
             else:
                 mv_raw = lambda u: kernel_matvec(kernel, x2, u, block=block)
+                mv_comp = lambda u: kernel_matvec(
+                    kernel, x2, u, block=block, compensated=True
+                )
             solver = make_whitened_solver(
-                mv_raw, x2.shape[0], noise, precond_rank, dtype=resid.dtype
+                mv_raw, x2.shape[0], noise, precond_rank,
+                dtype=resid.dtype, mv_raw_comp=mv_comp,
+                compensated=compensated if mv_comp is not None else False,
             )
             v, cg_info = solver(resid, tol=cg_tol, max_iters=max_cg_iters)
         else:
@@ -150,8 +166,9 @@ def pathwise_sampler(
                 f"pathwise_sampler: CG STALLED — rel residual "
                 f"{float(rel):.3e} > tol {cg_tol:.1e} after "
                 f"{int(cg_info['iters'])} iterations; the draws' update "
-                f"weights are unreliable. Raise noise (f32 validity needs "
-                f"noise >~ ||K||*eps*sqrt(N)), the preconditioner rank, or "
+                f"weights are unreliable. Pass compensated=True (two-float "
+                f"matvec — the plain-f32 path needs noise >~ "
+                f"||K||*eps*sqrt(N)), raise the preconditioner rank, or "
                 f"max_cg_iters.",
                 stacklevel=2,
             )
