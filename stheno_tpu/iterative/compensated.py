@@ -69,12 +69,18 @@ __all__ = [
 ]
 
 
-#: Auto-trigger safety factor: the measured plain-f32 validity wall sits
-#: at ``noise ~ ||K|| * eps * sqrt(N)`` (docs/scaling.md; ~0.1 at
-#: N=262,144) — the r4 bench point (noise=0.1) works on the plain path,
-#: so the auto threshold sits at half the wall to trigger only where the
-#: plain path is measured-unreliable.
-AUTO_WALL_FACTOR = 0.5
+#: Auto-trigger safety factor on the formula wall ``lam_max * eps *
+#: sqrt(N)``. The formula's coherent-worst-case sqrt(N) overstates the
+#: practical boundary: measured on the N=262,144 v5e bench problem
+#: (lam_max = 63,118 -> formula wall 3.85), the plain whitened CG WORKS
+#: at noise=0.1 (= wall/38; 7 iterations to 8.8e-5) and FAILS
+#: catastrophically at noise=0.01 (= wall/385; rel residual 92.8 after
+#: 300 iterations). 1/64 puts the trigger at 0.060 there: the working
+#: point keeps a ~1.7x margin on the plain path, the failing point
+#: engages compensated with ~6x margin. (CPU f32 FMA fails later, around
+#: wall/60 — between the thresholds the runtime stall warning names
+#: ``compensated=True``.)
+AUTO_WALL_FACTOR = 1.0 / 64.0
 
 
 def plain_noise_wall(lam_max, n, dtype):

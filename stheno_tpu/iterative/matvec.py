@@ -51,6 +51,7 @@ def kernel_matvec(
     symmetric=None,
     precision="high",
     compensated=False,
+    comp_col_chunk=32768,
 ):
     """Compute ``(k(x, x_cols) [+ noise I]) @ v`` matrix-free.
 
@@ -137,18 +138,49 @@ def kernel_matvec(
             two_sum,
         )
 
+        # Column-chunk the contraction: the compensated tile pipeline
+        # holds several tile-sized intermediates (f32 tile, two bf16
+        # slices, the f32 tail, the df32 low word), so a full-width
+        # (block, N) tile at N=262,144 would need ~5x 8 GB of HBM temp
+        # (measured OOM on a 16 GB v5e). Per (block, comp_col_chunk)
+        # chunk the working set is ~5 GB at the defaults, and the df32
+        # carry across chunks is exact (TwoSum).
+        m_cols = xc.shape[0]
+        cc = min(comp_col_chunk, m_cols)
+        ncc = -(-m_cols // cc)
+        cc_pad = ncc * cc
+        # Pad columns by REPEATING the first input (keeps kernel values
+        # finite for any expression); the matching v rows are zero, so
+        # padded columns contribute exactly nothing.
+        xc_pad = jnp.broadcast_to(xc[:1], (cc_pad, xc.shape[1]))
+        xc_pad = xc_pad.at[:m_cols].set(xc)
+        v_pad = jnp.zeros((cc_pad, v2.shape[1]), v2.dtype).at[:m_cols].set(v2)
+        xc_chunks = xc_pad.reshape(ncc, cc, xc.shape[1])
+        v_chunks = v_pad.reshape(ncc, cc, v2.shape[1])
+
         def comp_body(carry, x_b):
-            # Prefer the double-float tile (entry error ~eps * K — needed
-            # for extreme-kappa solves); fall back to a plain
-            # cancellation-free build for kernels without a df32 rule.
-            tile = df32_pairwise(k, x_b, xc)
-            if tile is None:
-                with config.accurate_dists():
-                    K_b = jnp.asarray(dense(pairwise(k, x_b, xc)))
-                K_lo = None
-            else:
-                K_b, K_lo = tile
-            hi, lo = compensated_matmul(K_b, v2, fold=False, A_lo=K_lo)
+            def col_body(acc, inp):
+                xc_c, v_c = inp
+                # Prefer the double-float tile (entry error ~eps * K —
+                # needed for extreme-kappa solves); fall back to a plain
+                # cancellation-free build for kernels without a df32
+                # rule.
+                tile = df32_pairwise(k, x_b, xc_c)
+                if tile is None:
+                    with config.accurate_dists():
+                        K_b = jnp.asarray(dense(pairwise(k, x_b, xc_c)))
+                    K_lo = None
+                else:
+                    K_b, K_lo = tile
+                h, l = compensated_matmul(K_b, v_c, fold=False, A_lo=K_lo)
+                hi, lo = acc
+                hi, e = two_sum(hi, h)
+                return (hi, lo + e + l), None
+
+            zero = jnp.zeros((x_b.shape[0], v2.shape[1]), v2.dtype)
+            (hi, lo), _ = lax.scan(
+                col_body, (zero, zero), (xc_chunks, v_chunks)
+            )
             return carry, (hi, lo)
 
         _, (hi_b, lo_b) = lax.scan(comp_body, None, x_blocks)

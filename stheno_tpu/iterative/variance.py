@@ -94,6 +94,7 @@ def variance_cache(
     max_cg_iters=50,
     block=4096,
     tail="conservative",
+    basis_tile_dtype=None,
 ):
     """Build the amortised-variance cache (one-time, post-training).
 
@@ -137,6 +138,19 @@ def variance_cache(
             never overstates the reduction (variance never under-
             estimated by the tail term); ``"zero"`` uses ``tau = 0``
             (the maximum-reduction bracket end).
+        basis_tile_dtype: optional Gram-tile storage dtype (e.g.
+            ``jnp.bfloat16``) for the SUBSPACE-ITERATION sweeps only —
+            the build-cost lever of VERDICT r4 #4. The basis build is
+            gradient-free and self-correcting (QR re-orthonormalises;
+            Ritz values only steer the warm start and the tail bound),
+            so bf16's ~1e-3 relative tile rounding costs basis quality
+            ~nothing while the measured bf16 matvec runs ~1.9x faster
+            (docs/scaling.md) — and the ``refine`` CG always runs
+            full-f32 tiles against the exact operator, so the cache's
+            final accuracy is preserved (the r3 bf16 REJECTION was about
+            theta-correlated *gradient* bias in the NLML backward sweep,
+            which has no analogue here). Ignored when ``precond_state``
+            supplies the basis.
 
     Returns:
         :class:`VarianceCache`.
@@ -148,6 +162,13 @@ def variance_cache(
     noise = jnp.asarray(noise)
     k = kernel_fn(jax.tree.map(jax.lax.stop_gradient, params))
     mv = lambda v: kernel_matvec(k, x, v, block=block)
+    mv_basis = (
+        mv
+        if basis_tile_dtype is None
+        else lambda v: kernel_matvec(
+            k, x, v, block=block, tile_dtype=basis_tile_dtype
+        )
+    )
     if precond_state is not None:
         U, lam = precond_state
         r0 = U.shape[-1]
@@ -169,7 +190,7 @@ def variance_cache(
                     key, (n, min(rank, n) - r0), x.dtype
                 )
                 om = jnp.concatenate([U, extra], axis=1)
-                U, lam = eig_preconditioner_factors(mv, om, power_iters)
+                U, lam = eig_preconditioner_factors(mv_basis, om, power_iters)
     else:
         if key is None:
             raise ValueError(
@@ -177,7 +198,7 @@ def variance_cache(
                 "prebuilt `precond_state`."
             )
         om = jax.random.normal(key, (n, min(rank, n)), x.dtype)
-        U, lam = eig_preconditioner_factors(mv, om, power_iters)
+        U, lam = eig_preconditioner_factors(mv_basis, om, power_iters)
     U = jax.lax.stop_gradient(U)
     lam = jax.lax.stop_gradient(lam)
     # Spectral warm start: (K + s2 I) U ~ U (lam + s2) for Ritz pairs.

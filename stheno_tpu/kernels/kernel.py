@@ -137,6 +137,10 @@ def _fused_gram(kind, x, y, alpha=1.0):
     path: batched inputs, unsupported dtype, or non-TPU backend)."""
     from ..ops.gram import gram, gram_available
 
+    if config.accurate_dists_enabled():
+        # The Pallas kernel computes distances by the matmul identity;
+        # the cancellation-free mode must fall through to pw_dists2.
+        return None
     if x.ndim == 2 and y.ndim == 2 and gram_available(x):
         return gram(kind, x, y, alpha)
     return None

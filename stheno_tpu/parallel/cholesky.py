@@ -144,11 +144,27 @@ def dist_cholesky(K, mesh, axis="data", block=256):
     halves is XLA's all_to_all). This cuts the MAC count to ~2x the
     sequential minimum, vs ~6x for the flat panel loop whose trailing
     updates are full-width to keep static shapes; the loop remains the base
-    case below ``_REC_BASE``. ``K`` must be ``(N, N)`` with ``N`` divisible
-    by ``mesh.shape[axis] * block`` (``block`` is clipped to ``N // D`` when
-    larger)."""
+    case below ``_REC_BASE``. An ``N`` that cannot be tiled over
+    ``mesh.shape[axis] * block`` (r5: non-divisible problem sizes) is
+    padded with an identity block — ``chol([[K, 0], [0, I]]) =
+    [[L, 0], [0, I]]`` exactly, so the result is sliced back with no
+    numerical interaction; padding is at most one ``D * block`` tile of
+    extra rows."""
     N = K.shape[-1]
     D = mesh.shape[axis]
+    b = min(block, max(N // D, 1))
+    while b > 0 and (N % (D * b) != 0 or (N // b) * b != N):
+        b //= 2
+    if b == 0:
+        tile = D * block
+        N_pad = -(-N // tile) * tile
+        K_pad = jnp.zeros((N_pad, N_pad), K.dtype)
+        K_pad = K_pad.at[:N, :N].set(K)
+        K_pad = K_pad.at[
+            jnp.arange(N, N_pad), jnp.arange(N, N_pad)
+        ].set(1.0)
+        L_pad = dist_cholesky(K_pad, mesh, axis=axis, block=block)
+        return L_pad[:N, :N]
     h = N // 2
     if N < _REC_BASE or h % D != 0 or h % 2 != 0:
         return _dist_cholesky_loop(K, mesh, axis, block)

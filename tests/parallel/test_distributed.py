@@ -682,3 +682,98 @@ def test_sharded_iterative_nlml_multioutput_icm(mesh):
     f = GP(kf(None))
     ref = -f.measure.logpdf(f(xa, 0.1), ya)
     assert abs(float(val) - float(ref)) < 1.0, (float(val), float(ref))
+
+
+# ---------------------------------------------------------------------------
+# r5 (VERDICT r4 #6): realistic shapes — n >= 1024 with >= 4 blocks per
+# device, so multi-block panel bookkeeping, block-cyclic wrap-around, and
+# accumulation depth are actually exercised (the original suite capped at
+# n=96 / ~2 blocks per device). All jitted (CLAUDE.md: eager distributed
+# recursion dispatches op-by-op and is ~10x slower).
+# ---------------------------------------------------------------------------
+
+
+def test_dist_cholesky_realistic_shape(mesh):
+    n, block = 1024, 32  # 32 panels; 4 row-blocks per device.
+    K = _psd(n, seed=11)
+    L = jax.jit(lambda K: dist_cholesky(K, mesh, block=block))(K)
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=1e-8, atol=1e-8)
+
+
+def test_dist_nlml_realistic_value_and_grad(mesh):
+    n, block = 1024, 32
+    x = jnp.linspace(0, 10, n)
+    r = np.random.RandomState(3)
+    y = jnp.sin(x) + 0.1 * jnp.asarray(r.randn(n))
+
+    @jax.jit
+    def nlml_dist(log_ell):
+        k = EQ().stretch(jnp.exp(log_ell))
+        K = sharded_gram(k, x[:, None], mesh, noise=0.1)
+        return dist_nlml(K, y, mesh, block=block)
+
+    def nlml_ref(log_ell):
+        k = EQ().stretch(jnp.exp(log_ell))
+        f2 = GP(k)
+        return -f2.measure.logpdf(f2(x, 0.1), y)
+
+    p = jnp.asarray(0.3)
+    val_d, g_d = jax.jit(jax.value_and_grad(nlml_dist))(p)
+    val_r, g_r = jax.value_and_grad(nlml_ref)(p)
+    np.testing.assert_allclose(float(val_d), float(val_r), rtol=1e-8)
+    np.testing.assert_allclose(float(g_d), float(g_r), rtol=1e-8)
+
+
+def test_dist_nlml_2d_realistic():
+    from stheno_tpu.parallel import dist_nlml_2d
+    from stheno_tpu.parallel.cholesky2d import make_grid_mesh
+
+    mesh2d = make_grid_mesh(2, 4)
+    n, block = 1024, 32  # 32x32 block grid: 16 cyclic blocks per device.
+    x = jnp.linspace(0, 10, n)
+    r = np.random.RandomState(4)
+    y = jnp.sin(x) + 0.1 * jnp.asarray(r.randn(n))
+    k = EQ().stretch(jnp.asarray(1.3))
+    from stheno_tpu.kernels import pairwise
+    from stheno_tpu.matrix import dense as mat_dense
+
+    K = jnp.asarray(mat_dense(pairwise(k, x[:, None]))) + 0.1 * jnp.eye(n)
+    val = jax.jit(
+        lambda K, y: dist_nlml_2d(K, y, mesh2d, block=block)
+    )(K, y)
+    f2 = GP(k)
+    val_r = -f2.measure.logpdf(f2(x, 0.1), y)
+    np.testing.assert_allclose(float(val), float(val_r), rtol=1e-8)
+
+
+def test_dist_posterior_predict_realistic(mesh):
+    n, m, block = 1024, 256, 32
+    x = jnp.linspace(0, 10, n)
+    r = np.random.RandomState(5)
+    y = jnp.sin(x) + 0.1 * jnp.asarray(r.randn(n))
+    x_new = jnp.linspace(-0.5, 10.5, m)
+    mean_d, var_d = jax.jit(
+        lambda x, y, xn: dist_posterior_predict(
+            EQ(), x, y, xn, 0.1, mesh, block=block
+        )
+    )(x[:, None], y, x_new[:, None])
+    f = GP(EQ())
+    post = f | (f(x, 0.1), y)
+    mean_r, var_r = post(x_new).marginals()
+    np.testing.assert_allclose(
+        np.asarray(mean_d), np.asarray(mean_r), rtol=1e-7, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_d), np.asarray(var_r), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_dist_cholesky_nondivisible_n(mesh):
+    # n = 1100: not divisible by the 8-device mesh (GSPMD pads shards) nor
+    # by the block size (the panel loop's tail panel is short).
+    n = 1100
+    K = _psd(n, seed=12)
+    L = jax.jit(lambda K: dist_cholesky(K, mesh, block=32))(K)
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    np.testing.assert_allclose(np.asarray(L), L_ref, rtol=1e-8, atol=1e-8)

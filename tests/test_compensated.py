@@ -163,8 +163,10 @@ def test_compensated_cg_small_noise_f64_parity():
     state = eig_precond_state(
         kernel_fn, None, x, rank=128, key=jax.random.PRNGKey(1), block=4096
     )
-    # Far below the wall: the plain path is invalid here.
-    assert noise < 0.5 * plain_noise_wall(
+    # Far below the formula wall (the TPU-calibrated AUTO threshold sits
+    # at wall/64, between this CPU point and CPU's own later failure
+    # onset — hence the explicit compensated=True here).
+    assert noise < 0.1 * plain_noise_wall(
         float(jnp.max(state[1])), n, jnp.float32
     )
     x64 = np.asarray(x, np.float64)
@@ -173,10 +175,9 @@ def test_compensated_cg_small_noise_f64_parity():
     y64 = np.asarray(y, np.float64)
     ref = np.linalg.solve(A64, y64)
 
-    # The auto policy engages the compensated path at this noise.
     alpha, info = posterior_weights(
         kernel_fn, None, x, y, noise, cg_tol=1e-10, max_cg_iters=300,
-        precond_state=state, block=4096, compensated="auto",
+        precond_state=state, block=4096, compensated=True,
     )
     sol_err = np.linalg.norm(np.asarray(alpha, np.float64) - ref) / (
         np.linalg.norm(ref)
@@ -199,11 +200,13 @@ def test_compensated_cg_small_noise_f64_parity():
 
 
 def test_resolve_compensated_policy():
-    lam = jnp.asarray([100.0, 3000.0])
+    # The measured 262k v5e bench problem: lam_max = 63,118 -> threshold
+    # 0.060. The r4 bench noise (0.1, measured-working) stays plain; the
+    # measured-failing 0.01 flips to compensated.
+    lam = jnp.asarray([100.0, 63118.0])
     n = 262144
-    wall = plain_noise_wall(3000.0, n, jnp.float32)
-    # ~0.09 at this lambda/n — r4-bench noise 0.1 stays plain, 0.01 flips.
-    assert 0.05 < wall < 0.2
+    wall = plain_noise_wall(63118.0, n, jnp.float32)
+    assert 3.0 < wall < 5.0
     assert resolve_compensated("auto", 0.01, lam, n, jnp.float32, True)
     assert not resolve_compensated("auto", 0.1, lam, n, jnp.float32, True)
     assert not resolve_compensated("auto", 0.01, lam, n, jnp.float32, False)
@@ -234,7 +237,7 @@ def test_whitened_solver_exposes_compensated_flag():
     )
     assert lo.compensated is False
     hi = make_whitened_solver(
-        mv, n, 1e-9, 32, key=jax.random.PRNGKey(0), mv_raw_comp=mv_c,
+        mv, n, 1e-10, 32, key=jax.random.PRNGKey(0), mv_raw_comp=mv_c,
         compensated="auto", dtype=jnp.float32,
     )
     assert hi.compensated is True

@@ -815,6 +815,50 @@ def test_variance_cache_widens_narrow_precond_state():
     assert cache16.U.shape[-1] == 16
 
 
+def test_variance_cache_bf16_basis_build():
+    """r5 (VERDICT r4 #4): bf16 Gram tiles for the SUBSPACE-ITERATION
+    sweeps of the cache build. The basis is self-correcting (QR) and the
+    refine CG runs full-f32 tiles, so accuracy holds: at full rank any
+    orthonormal basis spans R^n and the refined cache is exact to CG
+    tolerance; at low rank the bf16 basis stays within the f32 build's
+    accuracy class."""
+    from stheno_tpu.iterative import cached_posterior_var, variance_cache
+
+    x, y = _setup(120, seed=9)
+    kernel_fn = lambda p: EQ()
+    x32 = jnp.asarray(np.asarray(x), jnp.float32)
+    y32 = jnp.asarray(np.asarray(y), jnp.float32)
+    x_new = jnp.linspace(0, 10, 29, dtype=jnp.float32)
+    f = GP(EQ())
+    post = f | (f(x, 0.05), y)
+    _, var_ref = post(x_new).marginals()
+    cache = variance_cache(
+        kernel_fn, None, x32, 0.05, rank=120, key=jax.random.PRNGKey(2),
+        power_iters=2, refine=True, cg_tol=1e-7, max_cg_iters=200,
+        block=64, basis_tile_dtype=jnp.bfloat16,
+    )
+    var = cached_posterior_var(kernel_fn, None, x32, cache, x_new)
+    np.testing.assert_allclose(
+        np.asarray(var, np.float64), np.asarray(var_ref), rtol=2e-3,
+        atol=1e-5,
+    )
+    # Low rank: bf16 basis within the f32 build's accuracy class.
+    c16 = variance_cache(
+        kernel_fn, None, x32, 0.05, rank=48, key=jax.random.PRNGKey(2),
+        power_iters=2, refine=True, block=64,
+        basis_tile_dtype=jnp.bfloat16,
+    )
+    c32 = variance_cache(
+        kernel_fn, None, x32, 0.05, rank=48, key=jax.random.PRNGKey(2),
+        power_iters=2, refine=True, block=64,
+    )
+    v16 = cached_posterior_var(kernel_fn, None, x32, c16, x_new)
+    v32 = cached_posterior_var(kernel_fn, None, x32, c32, x_new)
+    err16 = np.abs(np.asarray(v16, np.float64) - np.asarray(var_ref)).max()
+    err32 = np.abs(np.asarray(v32, np.float64) - np.asarray(var_ref)).max()
+    assert err16 < 5 * max(err32, 1e-6), (err16, err32)
+
+
 def test_amortised_posterior_small_mean_query_bucket():
     """Few-point mean queries must not be padded to the full Gram
     row-block (ADVICE r4 #3): the bucket is min(block, 256)."""
