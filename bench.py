@@ -321,18 +321,38 @@ def bench_iterative_262k(dtype):
     # half the build cost (r4 sweep, scripts/out/r4_exp6.log — the error
     # is tail-dominated, so even rank 128 matches to 1.2e-4 on this
     # fast-decaying EQ spectrum).
-    build_cache = jax.jit(
-        lambda p, key: variance_cache(
-            kf, p, x, 0.1, rank=256, key=key, power_iters=2,
-            refine=True, cg_tol=1e-3, max_cg_iters=20, block=4096,
+    def make_build_cache(basis_dtype):
+        return jax.jit(
+            lambda p, key: variance_cache(
+                kf, p, x, 0.1, rank=256, key=key, power_iters=2,
+                refine=True, cg_tol=1e-3, max_cg_iters=20, block=4096,
+                basis_tile_dtype=basis_dtype,
+            )
         )
-    )
-    ckeys = iter(jax.random.split(jax.random.PRNGKey(11), 4))
+
+    # Headline build (r5, VERDICT r4 #4): bf16 Gram tiles for the
+    # gradient-free subspace-iteration sweeps (the refine CG stays on
+    # full-f32 tiles, so final accuracy is preserved — checked below
+    # against the f32-basis cache).
+    build_cache = make_build_cache(jnp.bfloat16)
+    ckeys = iter(jax.random.split(jax.random.PRNGKey(11), 6))
     cache = build_cache(params, next(ckeys))
     jax.block_until_ready(cache)
     out["var_cache_build_n262144_s"] = round(
         _direct_time(
             lambda: jax.block_until_ready(build_cache(params, next(ckeys))),
+            1,
+        ),
+        2,
+    )
+    build_cache_f32 = make_build_cache(None)
+    cache_f32 = build_cache_f32(params, next(ckeys))
+    jax.block_until_ready(cache_f32)
+    out["var_cache_build_f32basis_n262144_s"] = round(
+        _direct_time(
+            lambda: jax.block_until_ready(
+                build_cache_f32(params, next(ckeys))
+            ),
             1,
         ),
         2,
@@ -345,6 +365,13 @@ def bench_iterative_262k(dtype):
     jax.block_until_ready(var)
     var_np = np.asarray(var)
     assert np.all(var_np >= 0) and np.all(np.isfinite(var_np))
+    # bf16-basis cache must agree with the f32-basis cache (the r3 bf16
+    # rejection was about gradient bias; the cache build is gradient-free
+    # and CG-refined against full-f32 tiles).
+    var_f32 = np.asarray(query(params, cache_f32, x_var))
+    agree = float(np.abs(var_np - var_f32).max())
+    assert agree < 5e-4, agree
+    out["var_cache_bf16_basis_agree"] = round(agree, 7)
     vshifts = iter(np.linspace(0, 1e-6, 6))
     out["cached_posterior_var_n262144_s"] = round(
         _direct_time(
@@ -355,6 +382,84 @@ def bench_iterative_262k(dtype):
         ),
         3,
     )
+    return out
+
+
+def bench_compensated_262k(np_dtype):
+    """r5 (VERDICT r4 #1): the two-float compensated solve path at
+    N=262,144. Reports the matvec cost ratio vs the plain path and a
+    small-noise (0.01 — 10x below the plain-f32 validity boundary; the r4
+    stall case) representer-weights solve with its TRUE residual measured
+    through the compensated operator (trustworthy to ~eps, unlike the
+    plain matvec whose own error floor exceeds the quantity measured)."""
+    from stheno_tpu import EQ
+    from stheno_tpu.iterative import (
+        eig_precond_state,
+        kernel_matvec,
+        posterior_weights,
+    )
+
+    n = 262_144
+    r = np.random.RandomState(0)
+    x = jnp.asarray(np.sort(r.rand(n).astype(np_dtype)) * 10)
+    y = jnp.sin(x) + 0.1 * jnp.asarray(r.randn(n).astype(np_dtype))
+    v0 = jnp.asarray(r.randn(n, 8).astype(np_dtype))
+    kf = lambda p: EQ()
+
+    def make(comp):
+        def mk(iters):
+            @jax.jit
+            def many(v=v0):
+                def body(i, v):
+                    w = kernel_matvec(
+                        EQ(), x, v, noise=0.01, block=8192, compensated=comp
+                    )
+                    return w / jnp.max(jnp.abs(w))
+
+                out = lax.fori_loop(0, iters, body, v)
+                return jnp.sum(out[::4096])
+
+            return many
+
+        return mk
+
+    t_plain = _slope_time(make(False), 1, 3, repeats=2)
+    t_comp = _slope_time(make(True), 1, 3, repeats=2)
+    out = {
+        "matvec8_n262144_ms": round(t_plain * 1e3, 1),
+        "compensated_matvec8_n262144_ms": round(t_comp * 1e3, 1),
+        "compensated_matvec_cost_ratio": round(t_comp / t_plain, 2),
+    }
+
+    state = jax.jit(
+        lambda xx: eig_precond_state(
+            kf, None, xx, 64, jax.random.PRNGKey(1), block=8192
+        )
+    )(x)
+    jax.block_until_ready(state)
+    wsolve = jax.jit(
+        lambda xx, yy, U, lam: posterior_weights(
+            kf, None, xx, yy, 0.01, cg_tol=1e-5, max_cg_iters=300,
+            precond_state=(U, lam), block=8192, compensated=True,
+        )
+    )
+    alpha, info = wsolve(x, y, state[0], state[1])
+    jax.block_until_ready(alpha)
+    t0 = time.perf_counter()
+    alpha, info = wsolve(x, y + 1e-6, state[0], state[1])
+    jax.block_until_ready(alpha)
+    out["smallnoise_weights_n262144_s"] = round(time.perf_counter() - t0, 2)
+    resid = jax.jit(
+        lambda xx, yy, a: jnp.linalg.norm(
+            yy
+            - kernel_matvec(
+                EQ(), xx, a, noise=0.01, block=8192, compensated=True
+            )
+        )
+        / jnp.linalg.norm(yy)
+    )(x, y + 1e-6, alpha)
+    out["smallnoise_weights_true_res"] = float(resid)
+    assert out["smallnoise_weights_true_res"] <= 1e-4, out
     return out
 
 
@@ -372,13 +477,24 @@ def bench_pathwise_262k(np_dtype):
     r = np.random.RandomState(0)
     x = jnp.asarray(np.sort(r.rand(n).astype(np_dtype)) * 10)
     y = jnp.sin(x) + 0.1 * jnp.asarray(r.randn(n).astype(np_dtype))
-    sample_fn, _, cg_info = pathwise_sampler(
-        EQ(), x, y, 0.1, jax.random.PRNGKey(0),
-        num_samples=8, num_features=2048, solver="cg",
-        cg_tol=1e-4, max_cg_iters=200, precond_rank=64, block=8192,
-        return_info=True,
-    )
+    def build(noise, max_iters=200):
+        return pathwise_sampler(
+            EQ(), x, y, noise, jax.random.PRNGKey(0),
+            num_samples=8, num_features=2048, solver="cg",
+            cg_tol=1e-4, max_cg_iters=max_iters, precond_rank=64,
+            block=8192, return_info=True,
+        )
+
+    sample_fn, _, cg_info = build(0.1)
     assert float(cg_info["rel_residual"]) <= 1e-4
+    # Build cost (VERDICT r4 #5): the one-time shared whitened-CG solve +
+    # feature draws — the amortised setup the 3 ms eval metric rides on.
+    # Timed on the SECOND build (compile cache warm = the steady-state
+    # rebuild cost, e.g. after a hyperparameter update).
+    t0 = time.perf_counter()
+    sample_fn, _, cg_info = build(0.1)
+    jax.block_until_ready(cg_info["rel_residual"])
+    build_s = time.perf_counter() - t0
     # Jitted + slope-timed: this is the serving path, and the eval is
     # tens-of-ms — comparable to the tunnel's per-dispatch cost, so the
     # file-header chained-fori_loop rule applies (an eager direct reading
@@ -400,7 +516,24 @@ def bench_pathwise_262k(np_dtype):
         return many
 
     t = _slope_time(make, 2, 12, repeats=3)
-    return {"pathwise_n262144_eval4096x8_s": round(t, 3)}
+
+    # Small-noise serving (r5, VERDICT r4 #1): noise=0.01 sits 10x below
+    # the plain-f32 validity boundary at this N — in r4 this exact build
+    # STALLED (whitened residual ~93 after 300 iterations) and produced
+    # O(1000)x-wrong draws; the auto policy now routes the update solve
+    # through the compensated two-float matvec. Second build timed (warm
+    # compile cache).
+    build(0.01, max_iters=300)
+    t0 = time.perf_counter()
+    _, _, info_sn = build(0.01, max_iters=300)
+    jax.block_until_ready(info_sn["rel_residual"])
+    build_sn_s = time.perf_counter() - t0
+    return {
+        "pathwise_n262144_eval4096x8_s": round(t, 3),
+        "pathwise_build_n262144_s": round(build_s, 2),
+        "pathwise_smallnoise_build_n262144_s": round(build_sn_s, 2),
+        "pathwise_smallnoise_rel_residual": float(info_sn["rel_residual"]),
+    }
 
 
 def bench_structured_grids(np_dtype):
@@ -472,10 +605,16 @@ def bench_structured_grids(np_dtype):
 
 
 def bench_opt_steps(dtype):
-    """Chained-dispatch optimiser throughput at n=2000 (VERDICT r3 #5):
-    steps/s with per-step dispatch vs 50-step lax.scan chains."""
+    """Chained-dispatch optimiser throughput at n=2000 (VERDICT r3 #5,
+    r4 #3): steps/s with per-step dispatch vs 50- and 100-step lax.scan
+    chains, measured through a long-lived ``AdamDriver`` — the r4 numbers
+    were depressed ~2x because each timed ``minimise_adam`` call re-traced
+    its two jitted programs and paid a remote compile-cache round trip
+    (~1.5 s) inside the timed region; the driver pays trace/compile once
+    at construction and the timed region is pure dispatches (the
+    steady-state training-loop shape)."""
     from stheno_tpu import EQ, GP
-    from stheno_tpu.opt import Vars, minimise_adam
+    from stheno_tpu.opt import AdamDriver, Vars
 
     n = 2000
     x = jnp.linspace(0.0, 10.0, n, dtype=dtype)
@@ -490,18 +629,19 @@ def bench_opt_steps(dtype):
             g = GP(s2 * EQ().stretch(ell))
             return -g.measure.logpdf(g(x, 0.1), y)
 
+        driver = AdamDriver(f, vs, rate=1e-3, steps_per_dispatch=spd)
         # Warm up BOTH programs at full chain length (a k-step lax.scan
         # chain is its own compile; iters < spd would leave it to the
         # timed region — measured 2x distortion at k=50).
-        minimise_adam(f, vs, iters=2 * spd, rate=1e-3,
-                      steps_per_dispatch=spd)
+        driver.run(2 * spd)
         t0 = time.perf_counter()
-        minimise_adam(f, vs, iters=iters, rate=1e-3, steps_per_dispatch=spd)
+        driver.run(iters)
         return iters / (time.perf_counter() - t0)
 
     return {
         "adam_n2000_steps_per_s_k1": round(run(1, 60), 1),
         "adam_n2000_steps_per_s_k50": round(run(50, 400), 1),
+        "adam_n2000_steps_per_s_k100": round(run(100, 400), 1),
     }
 
 
@@ -638,6 +778,7 @@ def main():
             suite[f"n{n}_nlml_grad_tflops"] = round(tflops, 2)
 
         suite.update(bench_iterative_262k(np_dtype))
+        suite.update(bench_compensated_262k(np_dtype))
         suite.update(bench_structured_grids(np_dtype))
         suite.update(bench_pathwise_262k(np_dtype))
         suite.update(bench_opt_steps(dtype))
