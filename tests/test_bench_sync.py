@@ -83,7 +83,9 @@ def test_docs_measured_numbers_match_bench():
     bench_src = (ROOT / "bench.py").read_text()
     problems, pending = [], []
     for metric, doc_val, tol, rnd in entries:
-        assert f'"{metric}"' in bench_src, (
+        # Typo tripwire: the metric must be a literal bench.py key or
+        # already recorded by some round (f-string-templated keys).
+        assert f'"{metric}"' in bench_src or metric in sources, (
             f"BENCH-SYNC metric {metric!r} is not produced by bench.py"
         )
         if metric not in sources or sources[metric][0] < rnd:
