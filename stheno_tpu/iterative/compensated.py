@@ -51,6 +51,8 @@ f64 variant slices to 16-bit significands for the same guarantees).
 
 import math as _math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -126,8 +128,15 @@ def resolve_compensated(compensated, noise, lam, n, dtype, have_comp_mv):
 
 def two_sum(a, b):
     """Knuth's branch-free TwoSum: ``s + err == a + b`` exactly (s is the
-    rounded f32/f64 sum, err the rounding error)."""
-    s = a + b
+    rounded f32/f64 sum, err the rounding error).
+
+    The barrier is load-bearing: under jit, XLA's algebraic simplifier
+    reassociates CONSTANT chains — ``(x + 1) - 1 -> x`` — which silently
+    zeroes the error extraction whenever one operand is a literal (the
+    ``1 (+) r`` of the double-float exp, the Matern/RQ polynomial
+    constants): measured as a 150x tile-accuracy loss that appeared ONLY
+    under jit. The barrier hides the rounded sum from the simplifier."""
+    s = lax.optimization_barrier(a + b)
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
@@ -332,16 +341,33 @@ def _df_scale(s, h, l):
     return _df_norm(p, e + jnp.asarray(s, h.dtype) * l)
 
 
-# exp must be double-float too: a faithful f32 exp leaves eps * K entry
-# error, which on kappa-cancelling solution vectors is the WHOLE residual
-# floor (measured: the tile-entry term was 1000x the GEMM term). Classic
-# Cody-Waite: u = k ln2 + r with |r| <= ln2/2 reduced against a split ln2
-# (k * LN2_HI is exact; the subtraction is exact by Sterbenz), then a
-# 12-term double-float Horner for exp(r) (truncation 2^-47 at |r| = 0.347)
-# and an exact power-of-two scale. Net entry error ~2^-40 relative.
+# exp must be double-float too: a faithful f32 exp's rounding is a SMOOTH
+# DETERMINISTIC function of the argument — structured ~eps * K operator
+# error that kappa-cancelling solution vectors see coherently (measured:
+# the tile-entry term was 1000x the GEMM term, and a 4x entry-error
+# improvement bought 400x on ||E sol||). Scheme (cost-tuned r5: a full
+# 12-term double-float Horner was ~500 VPU flops/entry and made the TPU
+# matvec 42x the plain one):
+#   - Cody-Waite: u = k ln2 + r, |r| <= 0.347, reduced against a split
+#     ln2 (k * LN2_HI exact; the big subtraction exact by Sterbenz);
+#   - exp(r) = 1 + r + r^2/2 + r^3/6 + r^4 * R(r): the leading terms are
+#     carried in double-float (their evaluation rounding would otherwise
+#     be a SMOOTH function of r — measured: a plain-f32 tail entering at
+#     the r^2 scale cost 19x on ||E sol|| despite an identical max entry
+#     error); the remainder polynomial R is plain f32, entering at the
+#     r^4 * R <= 6e-4 scale where eps-rounding is ~7e-11 absolute;
+#   - exact power-of-two scale via ldexp (jnp.exp2 is a transcendental
+#     approximation whose eps*|k| error would re-introduce the very
+#     |u|*eps floor this removes — measured 1e-6 at u=-18).
+# Net coherent entry error ~1e-10 relative at ~150 VPU flops/entry (the
+# full double-float Horner it replaces was ~500).
 _LN2_HI = 0.693359375  # 10 significand bits: k * LN2_HI exact for |k| < 2^14.
 _LN2_LO = -2.121944400546905827679e-4
-_EXP_COEFS = [1.0 / _math.factorial(i) for i in range(12)]
+# R(r) = sum_{j>=0} r^j / (j+4)!  (the r^4 remainder); j<=5 -> truncation
+# r^10/10! ~ 7e-12 at |r| = 0.347.
+_EXP_R_COEFS = [1.0 / _math.factorial(j + 4) for j in range(6)]
+_C3_H = float(np.float32(1.0 / 6.0))
+_C3_L = 1.0 / 6.0 - _C3_H
 
 
 def _df_exp(h, l):
@@ -350,17 +376,30 @@ def _df_exp(h, l):
     rh = h - k * jnp.asarray(_LN2_HI, dtype)  # Exact (Sterbenz).
     ph, pe = two_prod(k, jnp.asarray(_LN2_LO, dtype))
     rh, rl = _df_add(rh, l, -ph, -pe)
-    # Horner in double-float.
-    eh = jnp.full_like(rh, _EXP_COEFS[-1])
-    el = jnp.zeros_like(rh)
-    for c in reversed(_EXP_COEFS[:-1]):
-        eh, el = _df_mul(eh, el, rh, rl)
-        eh, el = _df_add(eh, el, jnp.asarray(c, dtype), jnp.zeros((), dtype))
-    # Scale by 2^k EXACTLY via ldexp — jnp.exp2 lowers to a transcendental
-    # approximation whose eps*|k| error would re-introduce the very
-    # |u|*eps floor this function removes (measured: 1e-6 at u=-18).
+    # Remainder polynomial in plain f32 (enters at the r^4 scale).
+    R = jnp.full_like(rh, _EXP_R_COEFS[-1])
+    for c in reversed(_EXP_R_COEFS[:-1]):
+        R = R * rh + jnp.asarray(c, dtype)
+    # r^2 and r^3 as double-floats.
+    r2h, r2e = two_prod(rh, rh)
+    r2e = r2e + 2.0 * rh * rl
+    r3h, r3e = two_prod(r2h, rh)
+    r3e = r3e + r2e * rh + r2h * rl
+    q4 = (r2h * r2h) * R  # r^4 R: plain (eps here is ~7e-11 absolute).
+    # Terms: r^2/2 (exact scale) and r^3 * (1/6 as a split constant).
+    t2h, t2e = 0.5 * r2h, 0.5 * r2e
+    t3h, t3p = two_prod(r3h, jnp.asarray(_C3_H, dtype))
+    t3e = t3p + r3h * jnp.asarray(_C3_L, dtype) + r3e * jnp.asarray(
+        _C3_H, dtype
+    )
+    # ((1 (+) r) (+) r^2/2) (+) r^3/6, low words summed once.
+    s1h, s1e = two_sum(jnp.ones_like(rh), rh)
+    s2h, s2e = two_sum(s1h, t2h)
+    s3h, s3e = two_sum(s2h, t3h)
+    el = s1e + s2e + s3e + rl + t2e + t3e + q4
+    eh, er = two_sum(s3h, el)
     ki = k.astype(jnp.int32)
-    return jnp.ldexp(eh, ki), jnp.ldexp(el, ki)
+    return jnp.ldexp(eh, ki), jnp.ldexp(er, ki)
 
 
 def _df_sqrt(h, l):
