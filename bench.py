@@ -439,7 +439,7 @@ def bench_compensated_262k(np_dtype):
     jax.block_until_ready(state)
     wsolve = jax.jit(
         lambda xx, yy, U, lam: posterior_weights(
-            kf, None, xx, yy, 0.01, cg_tol=1e-5, max_cg_iters=300,
+            kf, None, xx, yy, 0.01, cg_tol=1e-5, max_cg_iters=80,
             precond_state=(U, lam), block=8192, compensated=True,
         )
     )
@@ -523,9 +523,9 @@ def bench_pathwise_262k(np_dtype):
     # O(1000)x-wrong draws; the auto policy now routes the update solve
     # through the compensated two-float matvec. Second build timed (warm
     # compile cache).
-    build(0.01, max_iters=300)
+    build(0.01, max_iters=120)
     t0 = time.perf_counter()
-    _, _, info_sn = build(0.01, max_iters=300)
+    _, _, info_sn = build(0.01, max_iters=120)
     jax.block_until_ready(info_sn["rel_residual"])
     build_sn_s = time.perf_counter() - t0
     return {

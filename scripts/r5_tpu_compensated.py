@@ -129,7 +129,8 @@ def s3_solves():
         f = jax.jit(
             lambda xx, yy, U, lam: posterior_weights(
                 kernel_fn, None, xx, yy, noise, cg_tol=1e-5,
-                max_cg_iters=300, precond_state=(U, lam), block=BLOCK,
+                max_cg_iters=300 if not comp else 80,
+                precond_state=(U, lam), block=BLOCK,
                 compensated=comp,
             )
         )
@@ -191,7 +192,7 @@ def s4_pathwise():
     sample_fn, _, info = pathwise_sampler(
         EQ(), x, y, 0.01, jax.random.PRNGKey(0),
         num_samples=8, num_features=2048, solver="cg",
-        cg_tol=1e-4, max_cg_iters=300, precond_rank=64, block=BLOCK,
+        cg_tol=1e-4, max_cg_iters=120, precond_rank=64, block=BLOCK,
         return_info=True, compensated="auto",
     )
     jax.block_until_ready(info["rel_residual"])

@@ -130,16 +130,24 @@ def two_sum(a, b):
     """Knuth's branch-free TwoSum: ``s + err == a + b`` exactly (s is the
     rounded f32/f64 sum, err the rounding error).
 
-    The barrier is load-bearing: under jit, XLA's algebraic simplifier
-    reassociates CONSTANT chains — ``(x + 1) - 1 -> x`` — which silently
-    zeroes the error extraction whenever one operand is a literal (the
-    ``1 (+) r`` of the double-float exp, the Matern/RQ polynomial
-    constants): measured as a 150x tile-accuracy loss that appeared ONLY
-    under jit. The barrier hides the rounded sum from the simplifier."""
-    s = lax.optimization_barrier(a + b)
+    CONSTANT-OPERAND HAZARD: under jit, XLA's algebraic simplifier
+    reassociates constant chains — ``(x + 1) - 1 -> x`` — which silently
+    zeroes the error extraction whenever ``a`` or ``b`` is a literal
+    (measured: 150x tile-accuracy loss, only under jit). Callers passing
+    a literal must hide it behind :func:`_opaque` (a SCALAR
+    optimization_barrier — a barrier inside two_sum itself would
+    materialize every tile-sized intermediate and was measured to cost
+    1.5x the whole compensated matvec in HBM traffic)."""
+    s = a + b
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
+
+
+def _opaque(c, dtype):
+    """A literal scalar the XLA simplifier cannot constant-fold through
+    (see the two_sum hazard note). The barrier is on a SCALAR — free."""
+    return lax.optimization_barrier(jnp.asarray(c, dtype))
 
 
 def _split_const(dtype):
@@ -393,7 +401,7 @@ def _df_exp(h, l):
         _C3_H, dtype
     )
     # ((1 (+) r) (+) r^2/2) (+) r^3/6, low words summed once.
-    s1h, s1e = two_sum(jnp.ones_like(rh), rh)
+    s1h, s1e = two_sum(_opaque(1.0, dtype), rh)  # Opaque 1: fold hazard.
     s2h, s2e = two_sum(s1h, t2h)
     s3h, s3e = two_sum(s2h, t3h)
     el = s1e + s2e + s3e + rl + t2e + t3e + q4
@@ -457,13 +465,13 @@ def _df32_pw(k, x, y, inv_scale):
         rh, rl = _df_sqrt(*_df32_dists2(x, y, inv_scale))
         rh, rl = _df_scale(3.0**0.5, rh, rl)
         eh, el = _df_exp(-rh, -rl)
-        th, tl = _df_add(jnp.ones_like(rh), jnp.zeros_like(rl), rh, rl)
+        th, tl = _df_add(_opaque(1.0, rh.dtype), jnp.zeros((), rh.dtype), rh, rl)
         return _df_mul(th, tl, eh, el)
     if isinstance(k, K.Matern52):
         rh, rl = _df_sqrt(*_df32_dists2(x, y, inv_scale))
         rh, rl = _df_scale(5.0**0.5, rh, rl)
         r2h, r2l = _df_mul(rh, rl, rh, rl)
-        ph, pl = _df_add(jnp.ones_like(rh), jnp.zeros_like(rl), rh, rl)
+        ph, pl = _df_add(_opaque(1.0, rh.dtype), jnp.zeros((), rh.dtype), rh, rl)
         ph, pl = _df_add(ph, pl, r2h / 3.0, r2l / 3.0)
         eh, el = _df_exp(-rh, -rl)
         return _df_mul(ph, pl, eh, el)
@@ -471,7 +479,7 @@ def _df32_pw(k, x, y, inv_scale):
         alpha = jnp.asarray(k.alpha, x.dtype)
         d2h, d2l = _df32_dists2(x, y, inv_scale)
         th, tl = _df_add(
-            jnp.ones_like(d2h), jnp.zeros_like(d2l),
+            _opaque(1.0, d2h.dtype), jnp.zeros((), d2h.dtype),
             d2h / (2.0 * alpha), d2l / (2.0 * alpha),
         )
         Lh, Ll = _df_log(th, tl)
@@ -511,7 +519,7 @@ def _df32_pw(k, x, y, inv_scale):
         z = jnp.zeros((x.shape[0], y.shape[0]), x.dtype)
         return z, z
     if isinstance(k, K.OneKernel):
-        o = jnp.ones((x.shape[0], y.shape[0]), x.dtype)
+        o = jnp.broadcast_to(_opaque(1.0, x.dtype), (x.shape[0], y.shape[0]))
         return o, jnp.zeros_like(o)
     return None
 
