@@ -520,10 +520,15 @@ def test_dist_nlml_multi_column_semantics(mesh):
     )
 
 
-def test_dist_cholesky_untileable_raises(mesh):
-    """N < D must raise the clear tiling error, not ZeroDivisionError."""
-    with pytest.raises(ValueError, match="Cannot tile"):
-        dist_cholesky(_psd(5), mesh)
+def test_dist_cholesky_untileable_pads(mesh):
+    """N < D (or any untileable N) is identity-padded since r5 and still
+    produces the exact factor (previously a 'Cannot tile' ValueError)."""
+    K = _psd(5)
+    L = dist_cholesky(K, mesh)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), rtol=1e-8,
+        atol=1e-8,
+    )
 
 
 def test_dist_cholesky_adaptive_jitter(mesh):
