@@ -126,14 +126,18 @@ def s3_solves():
     noise = 0.01
 
     def run(comp, tag):
-        f = jax.jit(
-            lambda xx, yy, U, lam: posterior_weights(
+        # EAGER for the compensated case: the segmented host-driven CG
+        # bounds each device program (a jitted whole-CG program at ~12 s
+        # per compensated matvec faulted the chip at ~10 min).
+        def f(xx, yy, U, lam):
+            return posterior_weights(
                 kernel_fn, None, xx, yy, noise, cg_tol=1e-5,
-                max_cg_iters=300 if not comp else 80,
+                max_cg_iters=300 if not comp else 60,
                 precond_state=(U, lam), block=BLOCK,
                 compensated=comp,
             )
-        )
+        if not comp:
+            f = jax.jit(f)
         t0 = time.time()
         alpha, info = f(x, y, state[0], state[1])
         jax.block_until_ready(alpha)

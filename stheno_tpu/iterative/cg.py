@@ -53,7 +53,12 @@ def batched_cg(
     ncols = b.shape[1]
     m = int(track_tridiag)
 
-    x = jnp.zeros_like(b) if x0 is None else x0
+    if x0 is None:
+        x = jnp.zeros_like(b)
+    else:
+        x0 = jnp.asarray(x0)
+        # A warm start from a previous (squeezed) solve re-upranks.
+        x = x0[:, None] if squeeze and x0.ndim == 1 else x0
     r = b - matvec(x)
     z = p_apply(r)
     d = z

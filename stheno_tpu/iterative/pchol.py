@@ -295,7 +295,7 @@ def make_whitened_solver(
     noise_arr = jnp.asarray(noise)
 
     def solve(rhs, *, tol=1e-6, max_iters=1000, true_residual=False,
-              **cg_kwargs):
+              segment_iters=6, **cg_kwargs):
         def mv_white(v):
             pv = phi(v)
             return phi(mv_use(pv) + noise_arr * pv)
@@ -304,10 +304,47 @@ def make_whitened_solver(
             return mv_use(v) + noise_arr * v
 
         rhs = jnp.asarray(rhs)
-        sol, info = batched_cg(
-            mv_white, phi(rhs), tol=tol, max_iters=max_iters,
-            **cg_kwargs,
+        # Segmented host-driven CG for EAGER compensated solves: a
+        # compensated matvec costs ~12 s at the 262k north star, so a
+        # whole CG inside one lax.while_loop runs many minutes in a
+        # single device program — measured to fault the remote v5e
+        # ("UNAVAILABLE: TPU device error") at ~10+ minutes. Splitting
+        # into warm-started ``segment_iters``-iteration programs bounds
+        # each dispatch at ~1 minute; the ONE compiled segment program is
+        # reused (same shapes), the restarts cost a few extra CG
+        # iterations at most under the strong whitened preconditioner.
+        # Only possible when the rhs is concrete (serving builds); under
+        # an outer jit the single-program path runs — keep its iteration
+        # budget modest there.
+        segmented = (
+            use_comp
+            and segment_iters
+            and not cg_kwargs.get("track_tridiag")
+            and not isinstance(rhs, jax.core.Tracer)
         )
+
+        def cg(b_white, budget, x0=None):
+            if not segmented:
+                return batched_cg(
+                    mv_white, b_white, tol=tol, max_iters=budget,
+                    x0=x0, **cg_kwargs,
+                )
+            x, done = x0, 0
+            while True:
+                seg = min(segment_iters, budget - done)
+                x, info = batched_cg(
+                    mv_white, b_white, tol=tol, max_iters=seg, x0=x
+                )
+                done += int(info["iters"])
+                info = dict(info, iters=jnp.asarray(done))
+                if (
+                    float(info["rel_residual"]) <= tol
+                    or int(info["iters"]) == 0
+                    or done >= budget
+                ):
+                    return x, info
+
+        sol, info = cg(phi(rhs), max_iters)
         sol = phi(sol)
         if use_comp:
             # Iterative refinement: the compensated matvec makes the TRUE
@@ -315,9 +352,7 @@ def make_whitened_solver(
             # contracts the solution error by the solve's own accuracy.
             for _ in range(comp_refine):
                 resid = rhs - mv_full(sol)
-                dw, info_r = batched_cg(
-                    mv_white, phi(resid), tol=tol, max_iters=max_iters,
-                )
+                dw, info_r = cg(phi(resid), max_iters)
                 sol = sol + phi(dw)
                 merged = dict(info)
                 merged["iters"] = info["iters"] + info_r["iters"]

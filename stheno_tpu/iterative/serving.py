@@ -108,18 +108,21 @@ class AmortisedPosterior:
             precond_state[0].shape[-1] if precond_state is not None
             else min(64, rank)
         )
-        # The (n, rank) preconditioner state is passed as a jit ARGUMENT,
-        # never closed over: a closed-over array is serialised into the
-        # remote compile request on the axon tunnel (HTTP 413 above
-        # ~100 MB — ADVICE r4 #1) and bakes a large constant into the HLO
-        # everywhere else.
-        self.alpha, self.solve_info = jax.jit(
-            lambda p, xx, yy, ps: posterior_weights(
-                kernel_fn, p, xx, yy, noise, cg_tol=cg_tol,
-                max_cg_iters=max_cg_iters, precond_rank=precond_rank,
-                precond_state=ps, block=block,
-            )
-        )(params, self.x, jnp.asarray(y), precond_state)
+        # The weights solve runs EAGERLY (r5): its heavy pieces (the
+        # whitened-CG while_loop, the matvec programs) each compile as
+        # their own bounded program anyway, the few extra dispatches cost
+        # ~0.1 s of tunnel on a ~1 s solve — and eagerness is what lets
+        # the small-noise auto policy resolve AND the compensated path
+        # run its segmented host-driven CG (a single many-minute device
+        # program faults the remote chip; pchol.make_whitened_solver).
+        # Large operands still flow as arguments of the internally
+        # compiled programs, not closures (axon HTTP 413 — ADVICE r4 #1).
+        self.alpha, self.solve_info = posterior_weights(
+            kernel_fn, params, self.x, jnp.asarray(y), noise,
+            cg_tol=cg_tol, max_cg_iters=max_cg_iters,
+            precond_rank=precond_rank, precond_state=precond_state,
+            block=block,
+        )
         self.cache = jax.jit(
             lambda p, xx, ps: variance_cache(
                 kernel_fn, p, xx, noise, rank=rank, key=key,
