@@ -323,26 +323,35 @@ def make_whitened_solver(
             and not isinstance(rhs, jax.core.Tracer)
         )
 
+        # One jitted segment program, reused across restarts: repeat
+        # dispatches hit the in-memory pjit cache (an eager while_loop
+        # primitive re-reads its persistent-cache entry per call, which
+        # reproducibly aborts on this jax build), and re-tracing per
+        # segment is avoided.
+        seg_solve = jax.jit(
+            lambda b, x0: batched_cg(
+                mv_white, b, tol=tol, max_iters=segment_iters, x0=x0
+            )
+        )
+
         def cg(b_white, budget, x0=None):
             if not segmented:
                 return batched_cg(
                     mv_white, b_white, tol=tol, max_iters=budget,
                     x0=x0, **cg_kwargs,
                 )
-            x, done = x0, 0
+            x = jnp.zeros_like(b_white) if x0 is None else x0
+            done = 0
             while True:
-                seg = min(segment_iters, budget - done)
-                x, info = batched_cg(
-                    mv_white, b_white, tol=tol, max_iters=seg, x0=x
-                )
-                done += int(info["iters"])
-                info = dict(info, iters=jnp.asarray(done))
+                x, info = seg_solve(b_white, x)
+                it = int(info["iters"])
+                done += it
                 if (
                     float(info["rel_residual"]) <= tol
-                    or int(info["iters"]) == 0
+                    or it == 0
                     or done >= budget
                 ):
-                    return x, info
+                    return x, dict(info, iters=jnp.asarray(done))
 
         sol, info = cg(phi(rhs), max_iters)
         sol = phi(sol)
