@@ -10,7 +10,12 @@ reference never hits this wall because it runs float64 everywhere
 (`/root/reference/README_without_examples.md:811-822`); this module is the
 TPU-native answer: an error-compensated matvec whose application error is
 ~1e-10 relative instead of ~3e-5, restoring convergence far below the
-plain-f32 noise floor at ~2-4x the matvec cost.
+plain-f32 noise floor. Measured cost at the N=262,144 north star (v5e,
+8 RHS): 11.8 s vs 0.21 s per matvec (~56x) — the plain sweep is
+HBM/MXU-bound while the double-float tile arithmetic is VPU-bound
+(~200 f32 ops/entry at ~2 TF/s VPU) — an acceptable price for the ONLY
+converging path in this regime (a representer-weights solve lands in
+~500 s where the plain path returns garbage in 38 s).
 
 Two ingredients, composable and individually testable:
 
@@ -266,9 +271,10 @@ def compensated_matmul(A, B, *, sub=512, fold=True, A_lo=None):
             precision tail GEMM.
 
     Cost: four bf16 MXU passes (the slice pairs) + two ordinary
-    3-pass-f32 GEMMs (the tails) versus three passes for the library's
-    default "high" matvec precision — measured end-to-end ~2-4x a plain
-    matvec (BENCH_r05 `compensated_matvec_cost_ratio`).
+    3-pass-f32 GEMMs (the tails). In the kernel-matvec pipeline the GEMM
+    passes are minor — the double-float TILE construction upstream is
+    VPU-bound and dominates (measured end-to-end ~56x a plain matvec at
+    the 262k north star; BENCH_r05 `compensated_matvec_cost_ratio`).
     """
     A = jnp.asarray(A)
     B = jnp.asarray(B)

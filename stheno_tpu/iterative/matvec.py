@@ -87,8 +87,11 @@ def kernel_matvec(
             Ozaki-split double-float GEMM, dropping the application
             error from ``~eps*sqrt(N)*||K||`` to ``~1e-10`` relative.
             This is what makes CG converge below the plain-f32 noise
-            wall ``noise >~ ||K||*eps*sqrt(N)`` (~0.1 at N=262,144) —
-            measured ~2-4x the plain matvec cost. Incompatible with
+            wall (the practical boundary is ~lam_max*eps*sqrt(N)/40 —
+            ~0.1 at N=262,144) — measured ~56x the plain matvec cost
+            (VPU-bound double-float tile arithmetic vs an HBM/MXU-bound
+            plain sweep; the price of the only converging path in this
+            regime). Incompatible with
             ``tile_dtype``/``symmetric``; the ``precision`` argument is
             ignored on the compensated tile product (its slice GEMMs
             carry their own exactness guarantees).
