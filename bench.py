@@ -175,8 +175,8 @@ def bench_dense_nlml_grad(n, dtype):
 
         return many
 
-    i1, i2 = (2, 12) if n <= 8192 else (1, 5)
-    t = _slope_time(make, i1, i2, repeats=3)
+    i1, i2 = (2, 12) if n <= 8192 else ((1, 5) if n <= 16384 else (1, 3))
+    t = _slope_time(make, i1, i2, repeats=3 if n <= 16384 else 2)
     tflops = exact_gp_flops(n, grad=True) / t / 1e12
     return t * 1e3, tflops
 
@@ -680,14 +680,19 @@ def bench_nuts(dtype):
         # HLO, so a smaller warm-up would compile a different program);
         # remote compiles cost minutes through the tunnel and must not
         # pollute the timed window.
+        # r5: windowed mass-matrix adaptation (on by default) needs
+        # warmup room for its expanding windows — 192 warmup scales
+        # Stan's 75/25/50 schedule to 48-step init, one 16-step window
+        # ladder, 32-step terminal buffer; depth 6 lets the adapted
+        # metric use longer trajectories.
         sample_nuts(
-            logpost, init, jax.random.PRNGKey(1), num_samples=96,
-            num_warmup=96, num_chains=4, max_depth=5,
+            logpost, init, jax.random.PRNGKey(1), num_samples=128,
+            num_warmup=192, num_chains=4, max_depth=6,
         )
         t0 = time.perf_counter()
         samples, accept = sample_nuts(
-            logpost, init, jax.random.PRNGKey(0), num_samples=96,
-            num_warmup=96, num_chains=4, max_depth=5,
+            logpost, init, jax.random.PRNGKey(0), num_samples=128,
+            num_warmup=192, num_chains=4, max_depth=6,
         )
         wall = time.perf_counter() - t0
     finally:
@@ -769,13 +774,23 @@ def main():
     if on_tpu:
         # Large-N paths sized for the chip; skipped on CPU (the CI surface
         # covers them at reduced N in tests/).
-        for n in (8192, 16384):
+        # 32,768 (r5, VERDICT r4 #7): the dense envelope's measured edge on
+        # a 16 GB v5e — the value+grad recursion peaks at ~3.5x the 4.3 GB
+        # Gram; 49k would need ~34 GB. Closes the 16k-262k coverage hole
+        # together with the iterative entries (crossover table in
+        # docs/scaling.md).
+        for n in (8192, 16384, 32768):
             ms, tflops = bench_dense_nlml_grad(n, dtype)
             suite[f"n{n}_nlml_grad_ms"] = round(ms, 2)
             suite[f"n{n}_nlml_grad_tflops"] = round(tflops, 2)
 
         suite.update(bench_iterative_262k(np_dtype))
-        suite.update(bench_compensated_262k(np_dtype))
+        try:
+            suite.update(bench_compensated_262k(np_dtype))
+        except Exception as e:  # Record, don't lose the suite (the
+            # compensated solve is minutes of VPU-bound work on a remote
+            # chip that has faulted under long sessions).
+            suite["compensated_error"] = repr(e)[:200]
         suite.update(bench_structured_grids(np_dtype))
         suite.update(bench_pathwise_262k(np_dtype))
         suite.update(bench_opt_steps(dtype))
