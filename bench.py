@@ -445,7 +445,7 @@ def bench_compensated_262k(np_dtype):
     # device programs — a single long program faults the remote chip).
     def wsolve(xx, yy, U, lam):
         return posterior_weights(
-            kf, None, xx, yy, 0.01, cg_tol=1e-4, max_cg_iters=40,
+            kf, None, xx, yy, 0.01, cg_tol=1e-5, max_cg_iters=40,
             precond_state=(U, lam), block=8192, compensated=True,
         )
     alpha, info = wsolve(x, y, state[0], state[1])
@@ -766,10 +766,23 @@ def main():
     np_dtype = np.float32 if on_tpu else np.float64
 
     suite = {}
-    t_val_ms, t_grad_ms = bench_n2000(dtype)
-    suite["n2000_logpdf_ms"] = round(t_val_ms, 4)
-    suite["n2000_logpdf_grad_ms"] = round(t_grad_ms, 4)
-    suite["vfe_elbo_n2000_m100_ms"] = round(bench_vfe_n2000(dtype), 4)
+
+    def guard(name, fn):
+        # One section must not sink the suite: the remote worker has been
+        # observed to crash mid-session ("UNAVAILABLE: TPU worker process
+        # crashed or restarted") and recovers for the next program.
+        try:
+            fn()
+        except Exception as e:
+            suite[f"{name}_error"] = repr(e)[:200]
+
+    def _headline():
+        t_val_ms, t_grad_ms = bench_n2000(dtype)
+        suite["n2000_logpdf_ms"] = round(t_val_ms, 4)
+        suite["n2000_logpdf_grad_ms"] = round(t_grad_ms, 4)
+        suite["vfe_elbo_n2000_m100_ms"] = round(bench_vfe_n2000(dtype), 4)
+
+    _headline()  # Unguarded: without the headline there is no metric.
 
     if on_tpu:
         # Large-N paths sized for the chip; skipped on CPU (the CI surface
@@ -779,27 +792,25 @@ def main():
         # Gram; 49k would need ~34 GB. Closes the 16k-262k coverage hole
         # together with the iterative entries (crossover table in
         # docs/scaling.md).
-        for n in (8192, 16384, 32768):
-            ms, tflops = bench_dense_nlml_grad(n, dtype)
-            suite[f"n{n}_nlml_grad_ms"] = round(ms, 2)
-            suite[f"n{n}_nlml_grad_tflops"] = round(tflops, 2)
+        def _dense():
+            for n in (8192, 16384, 32768):
+                ms, tflops = bench_dense_nlml_grad(n, dtype)
+                suite[f"n{n}_nlml_grad_ms"] = round(ms, 2)
+                suite[f"n{n}_nlml_grad_tflops"] = round(tflops, 2)
 
-        suite.update(bench_iterative_262k(np_dtype))
-        try:
-            suite.update(bench_compensated_262k(np_dtype))
-        except Exception as e:  # Record, don't lose the suite (the
-            # compensated solve is minutes of VPU-bound work on a remote
-            # chip that has faulted under long sessions).
-            suite["compensated_error"] = repr(e)[:200]
-        suite.update(bench_structured_grids(np_dtype))
-        suite.update(bench_pathwise_262k(np_dtype))
-        suite.update(bench_opt_steps(dtype))
-        try:
-            suite.update(bench_nuts(dtype))
-        except Exception as e:  # Record, don't lose the whole suite: the
-            # NUTS smoke gate can trip on chaotic-trajectory variance.
-            suite["nuts_n2000_error"] = repr(e)[:200]
-        suite["dist_elbo_n1e6_m512_ms"] = round(bench_dist_elbo_1m(dtype), 1)
+        guard("dense", _dense)
+        guard("iterative", lambda: suite.update(bench_iterative_262k(np_dtype)))
+        guard("compensated", lambda: suite.update(bench_compensated_262k(np_dtype)))
+        guard("grids", lambda: suite.update(bench_structured_grids(np_dtype)))
+        guard("pathwise", lambda: suite.update(bench_pathwise_262k(np_dtype)))
+        guard("adam", lambda: suite.update(bench_opt_steps(dtype)))
+        guard("nuts", lambda: suite.update(bench_nuts(dtype)))
+        guard(
+            "dist_elbo",
+            lambda: suite.__setitem__(
+                "dist_elbo_n1e6_m512_ms", round(bench_dist_elbo_1m(dtype), 1)
+            ),
+        )
 
     suite["bench_wall_s"] = round(time.time() - t_bench0, 1)
     # Local snapshot for the BENCH-SYNC docs ledger (tests/test_bench_sync
