@@ -327,12 +327,25 @@ def make_whitened_solver(
         # dispatches hit the in-memory pjit cache (an eager while_loop
         # primitive re-reads its persistent-cache entry per call, which
         # reproducibly aborts on this jax build), and re-tracing per
-        # segment is avoided.
-        seg_solve = jax.jit(
-            lambda b, x0: batched_cg(
-                mv_white, b, tol=tol, max_iters=segment_iters, x0=x0
+        # segment is avoided. The (n, r) eigenbasis is a jit ARGUMENT:
+        # closed over, it is serialised into the remote compile request —
+        # HTTP 413 at rank 256 (268 MB), the axon limit CLAUDE.md
+        # documents.
+        def _seg_body(b, x0, U_, lam_):
+            _, _, phi_, _ = eig_preconditioner_ops(
+                U_, lam_, noise_arr, n, compensated=use_comp
             )
-        )
+
+            def mvw(v):
+                pv = phi_(v)
+                return phi_(mv_use(pv) + noise_arr * pv)
+
+            return batched_cg(
+                mvw, b, tol=tol, max_iters=segment_iters, x0=x0
+            )
+
+        seg_jit = jax.jit(_seg_body)
+        seg_solve = lambda b, x0: seg_jit(b, x0, U, lam)
 
         def cg(b_white, budget, x0=None):
             if not segmented:

@@ -108,6 +108,11 @@ class AdamDriver:
                 done += 1
         self.params, self.state = params, state
         self.vs.assign_latent(params)
+        # Synchronous contract: run() returns when the work is DONE, not
+        # when the last dispatch is enqueued (async enqueue made a timed
+        # run() read 100x the real step rate).
+        if val is not None:
+            jax.block_until_ready(val)
         return val
 
     def objective(self):

@@ -247,18 +247,21 @@ def _warmup_schedule(num_warmup, init_buffer=75, term_buffer=50, base_window=25)
     return collect, window_end
 
 
-def _single_chain_nuts(logp_fn, q0, key, num_samples, num_warmup, step_size0,
-                       max_depth, target_accept, adapt_mass):
-    gamma, t0, kappa = 0.05, 10.0, 0.75
+def _warmup_carry(q0, step_size0):
     dim = q0.shape[0]
+    return (
+        q0, jnp.log(step_size0), jnp.log(step_size0), 0.0, 0.0,
+        jnp.log(10 * step_size0), jnp.ones((dim,), q0.dtype),
+        0.0, jnp.zeros_like(q0), jnp.zeros_like(q0),
+    )
 
-    if adapt_mass:
-        collect_np, wend_np = _warmup_schedule(num_warmup)
-    else:
-        collect_np = np.zeros(max(num_warmup, 1), bool)[:num_warmup]
-        wend_np = np.zeros(max(num_warmup, 1), bool)[:num_warmup]
-    collect = jnp.asarray(collect_np)
-    window_end = jnp.asarray(wend_np)
+
+def _warmup_scan(logp_fn, carry, keys, collect, window_end, max_depth,
+                 target_accept):
+    """A (chunk of the) warmup phase: dual averaging + windowed Welford
+    mass estimation, driven by the per-step schedule arrays (data, so one
+    compiled program serves every equally-sized chunk)."""
+    gamma, t0, kappa = 0.05, 10.0, 0.75
 
     def warm_body(carry, xs):
         key, in_win, win_end = xs
@@ -304,26 +307,18 @@ def _single_chain_nuts(logp_fn, q0, key, num_samples, num_warmup, step_size0,
             None,
         )
 
-    keys = jax.random.split(key, num_warmup + num_samples + 1)
-    ones = jnp.ones((dim,), q0.dtype)
-    init_carry = (
-        q0, jnp.log(step_size0), jnp.log(step_size0), 0.0, 0.0,
-        jnp.log(10 * step_size0), ones,
-        0.0, jnp.zeros_like(q0), jnp.zeros_like(q0),
-    )
-    (q, _, log_eps_bar, _, _, _, inv_mass, _, _, _), _ = lax.scan(
-        warm_body,
-        init_carry,
-        (keys[1 : num_warmup + 1], collect, window_end),
-    )
-    eps = jnp.exp(log_eps_bar)
+    return lax.scan(warm_body, carry, (keys, collect, window_end))[0]
+
+
+def _sample_scan(logp_fn, q, keys, eps, inv_mass, max_depth):
+    """A (chunk of the) sampling phase at fixed step size and metric."""
 
     def sample_body(q, key):
         q, accept = _nuts_trajectory(logp_fn, q, key, eps, max_depth, inv_mass)
         return q, (q, accept)
 
-    _, (qs, accepts) = lax.scan(sample_body, q, keys[num_warmup + 1 :])
-    return qs, jnp.mean(accepts)
+    q, (qs, accepts) = lax.scan(sample_body, q, keys)
+    return q, qs, accepts
 
 
 def sample_nuts(
@@ -338,6 +333,7 @@ def sample_nuts(
     num_chains=1,
     target_accept=0.8,
     adapt_mass=True,
+    dispatch_chunk=None,
     mesh=None,
     chain_axis="chains",
 ):
@@ -351,10 +347,19 @@ def sample_nuts(
     is worth ~an order of magnitude in effective samples per second; set
     ``False`` to reproduce the unit-metric r4 behaviour.
 
+    ``dispatch_chunk`` (r5): split warmup and sampling into chunks of at
+    most this many transitions PER DISPATCH (host-driven; one compiled
+    program per phase, reused across equally-sized chunks, carried state
+    on device). On the remote-tunneled TPU a single NUTS program running
+    more than ~2 minutes faults the worker (measured); chunks of 32-64
+    bound each dispatch. ``None`` keeps the single-program-per-phase
+    behaviour.
+
     Returns ``(samples, accept_rate)`` with leaves shaped
     ``(num_chains, num_samples, ...)``."""
     q0_flat, unravel = ravel_pytree(init)
     logp_flat = lambda q: logpdf(unravel(q))
+    dim = q0_flat.shape[0]
 
     key, k_init = jax.random.split(key)
     chain_inits = q0_flat[None] + 0.1 * jax.random.normal(
@@ -362,19 +367,77 @@ def sample_nuts(
     )
     chain_keys = jax.random.split(key, num_chains)
 
-    run = jax.vmap(
-        lambda q, k: _single_chain_nuts(
-            logp_flat, q, k, num_samples, num_warmup, step_size, max_depth,
-            target_accept, adapt_mass,
-        )
-    )
-
     if mesh is not None:
         auto_mesh = jax.sharding.Mesh(mesh.devices, mesh.axis_names)
         sharding = NamedSharding(auto_mesh, P(chain_axis))
         chain_inits = jax.device_put(chain_inits, sharding)
         chain_keys = jax.device_put(chain_keys, sharding)
 
-    qs, accept = jax.jit(run)(chain_inits, chain_keys)
+    if adapt_mass:
+        collect_np, wend_np = _warmup_schedule(num_warmup)
+    else:
+        collect_np = np.zeros(num_warmup, bool)
+        wend_np = np.zeros(num_warmup, bool)
+
+    # Per-chain, per-step keys (shape (chains, steps, 2)).
+    warm_keys = jax.vmap(
+        lambda k: jax.random.split(jax.random.fold_in(k, 0), num_warmup)
+    )(chain_keys)
+    samp_keys = jax.vmap(
+        lambda k: jax.random.split(jax.random.fold_in(k, 1), num_samples)
+    )(chain_keys)
+
+    warm_step = jax.jit(
+        jax.vmap(
+            lambda carry, keys, collect, wend: _warmup_scan(
+                logp_flat, carry, keys, collect, wend, max_depth,
+                target_accept,
+            ),
+            in_axes=(0, 0, None, None),
+        )
+    )
+    samp_step = jax.jit(
+        jax.vmap(
+            lambda q, keys, eps, im: _sample_scan(
+                logp_flat, q, keys, eps, im, max_depth
+            ),
+            in_axes=(0, 0, 0, 0),
+        )
+    )
+
+    chunk = dispatch_chunk or max(num_warmup, num_samples, 1)
+
+    def _chunks(total):
+        # Full chunks + one remainder chunk: at most two distinct program
+        # sizes per phase (the jit cache holds both), EXACT parity with
+        # the single-program path.
+        c = min(chunk, max(total, 1))
+        out = [(i * c, c) for i in range(total // c)]
+        if total % c:
+            out.append((total - total % c, total % c))
+        return out
+
+    carry = jax.vmap(lambda q: _warmup_carry(q, step_size))(chain_inits)
+    for start, size in _chunks(num_warmup):
+        sl = slice(start, start + size)
+        carry = warm_step(
+            carry,
+            warm_keys[:, sl],
+            jnp.asarray(collect_np[sl]),
+            jnp.asarray(wend_np[sl]),
+        )
+    q = carry[0]
+    eps = jnp.exp(carry[2])
+    inv_mass = carry[6]
+
+    qs_chunks, acc_chunks = [], []
+    for start, size in _chunks(num_samples):
+        q, qs, accepts = samp_step(
+            q, samp_keys[:, start : start + size], eps, inv_mass
+        )
+        qs_chunks.append(qs)
+        acc_chunks.append(accepts)
+    qs = jnp.concatenate(qs_chunks, axis=1)
+    accept = jnp.mean(jnp.concatenate(acc_chunks, axis=1))
     samples = jax.vmap(jax.vmap(unravel))(qs)
-    return samples, float(jnp.mean(accept))
+    return samples, float(accept)

@@ -248,3 +248,25 @@ def test_nuts_mass_adaptation_scale_separated():
         max(potential_scale_reduction(w0[..., i]) for i in range(3)) > 1.2
         or min(effective_sample_size(w0[..., i]) for i in range(3)) < 50
     )
+
+
+def test_nuts_dispatch_chunking_matches_single_program():
+    """r5: host-chunked dispatch (bounded device programs for the remote
+    chip) must produce EXACTLY the same chains as the single-program
+    path — same keys, same schedule, pure refactor of the dispatch."""
+    from stheno_tpu.opt import sample_nuts
+
+    logp = lambda p: -0.5 * jnp.sum(p["w"] ** 2)
+    init = {"w": jnp.zeros(2)}
+    s1, a1 = sample_nuts(
+        logp, init, jax.random.PRNGKey(3), num_samples=40, num_warmup=40,
+        num_chains=2, max_depth=4,
+    )
+    s2, a2 = sample_nuts(
+        logp, init, jax.random.PRNGKey(3), num_samples=40, num_warmup=40,
+        num_chains=2, max_depth=4, dispatch_chunk=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1["w"]), np.asarray(s2["w"]), rtol=0, atol=0
+    )
+    assert a1 == a2
