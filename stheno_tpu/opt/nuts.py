@@ -41,36 +41,48 @@ __all__ = ["sample_nuts"]
 _DIVERGENCE_THRESHOLD = 1000.0
 
 
+def _velocity(inv_mass, p):
+    """``M^{-1} p`` for a diagonal (vector) or dense (matrix) metric."""
+    return inv_mass @ p if inv_mass.ndim == 2 else inv_mass * p
+
+
 def _turning(q_minus, p_minus, q_plus, p_plus, inv_mass):
     # Stan's generalized criterion: chords against VELOCITIES
     # ``v = M^{-1} p``, not raw momenta (equivalent at unit mass).
     dq = q_plus - q_minus
     return jnp.logical_or(
-        jnp.dot(dq, inv_mass * p_minus) < 0,
-        jnp.dot(dq, inv_mass * p_plus) < 0,
+        jnp.dot(dq, _velocity(inv_mass, p_minus)) < 0,
+        jnp.dot(dq, _velocity(inv_mass, p_plus)) < 0,
     )
 
 
 def _nuts_trajectory(logp_fn, q0, key, eps, max_depth, inv_mass):
-    """One NUTS transition from ``q0`` with diagonal inverse mass
-    ``inv_mass`` (momenta ~ N(0, M), kinetic = p^T M^{-1} p / 2).
-    Returns (q_new, accept_stat)."""
+    """One NUTS transition from ``q0`` with a diagonal (vector) or DENSE
+    (matrix, r5) inverse mass ``inv_mass = Sigma`` (momenta ~ N(0, M),
+    ``M = Sigma^{-1}``, kinetic = p^T Sigma p / 2). Returns
+    (q_new, accept_stat)."""
     dim = q0.shape[0]
     grad_fn = jax.value_and_grad(logp_fn)
     logp0, grad0 = grad_fn(q0)
-    sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
+    dense = inv_mass.ndim == 2
 
     def kinetic(p):
-        return 0.5 * jnp.dot(p, inv_mass * p)
+        return 0.5 * jnp.dot(p, _velocity(inv_mass, p))
 
     k_mom, k_dir, k_prog = jax.random.split(key, 3)
-    p0 = sqrt_mass * jax.random.normal(k_mom, (dim,), q0.dtype)
+    z0 = jax.random.normal(k_mom, (dim,), q0.dtype)
+    if dense:
+        # p ~ N(0, Sigma^{-1}): with Sigma = L L^T, p = L^{-T} z.
+        L_sig = jnp.linalg.cholesky(inv_mass)
+        p0 = jax.scipy.linalg.solve_triangular(L_sig.T, z0, lower=False)
+    else:
+        p0 = z0 / jnp.sqrt(inv_mass)
     H0 = logp0 - kinetic(p0)
 
     def leapfrog(q, p, grad, direction):
         e = direction * eps
         p_half = p + 0.5 * e * grad
-        q_new = q + e * (inv_mass * p_half)
+        q_new = q + e * _velocity(inv_mass, p_half)
         logp_new, grad_new = grad_fn(q_new)
         p_new = p_half + 0.5 * e * grad_new
         return q_new, p_new, logp_new, grad_new
@@ -131,8 +143,8 @@ def _nuts_trajectory(logp_fn, q0, key, eps, max_depth, inv_mass):
                     closes = ((i + 1) % (2**k)) == 0
                     dq_time = direction * dq_build[k]
                     t_k = jnp.logical_or(
-                        jnp.dot(dq_time, inv_mass * ckpt_p[k]) < 0,
-                        jnp.dot(dq_time, inv_mass * p_new) < 0,
+                        jnp.dot(dq_time, _velocity(inv_mass, ckpt_p[k])) < 0,
+                        jnp.dot(dq_time, _velocity(inv_mass, p_new)) < 0,
                     )
                     turning = jnp.logical_or(
                         turning, jnp.logical_and(closes & (k > 0), t_k)
@@ -247,12 +259,18 @@ def _warmup_schedule(num_warmup, init_buffer=75, term_buffer=50, base_window=25)
     return collect, window_end
 
 
-def _warmup_carry(q0, step_size0):
+def _warmup_carry(q0, step_size0, dense=False):
     dim = q0.shape[0]
+    if dense:
+        inv_mass0 = jnp.eye(dim, dtype=q0.dtype)
+        m2_0 = jnp.zeros((dim, dim), q0.dtype)
+    else:
+        inv_mass0 = jnp.ones((dim,), q0.dtype)
+        m2_0 = jnp.zeros_like(q0)
     return (
         q0, jnp.log(step_size0), jnp.log(step_size0), 0.0, 0.0,
-        jnp.log(10 * step_size0), jnp.ones((dim,), q0.dtype),
-        0.0, jnp.zeros_like(q0), jnp.zeros_like(q0),
+        jnp.log(10 * step_size0), inv_mass0,
+        0.0, jnp.zeros_like(q0), m2_0,
     )
 
 
@@ -277,23 +295,38 @@ def _warmup_scan(logp_fn, carry, keys, collect, window_end, max_depth,
         log_eps = mu - jnp.sqrt(t) / gamma * h_bar
         w = t ** (-kappa)
         log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
-        # Welford accumulation of the position variance inside windows.
+        # Welford accumulation of the position variance (diag) or full
+        # covariance (dense metric, r5 — a diagonal metric cannot fix
+        # CORRELATED hyperparameters) inside windows.
+        dense = inv_mass.ndim == 2
         c_new = w_count + 1.0
         delta = q - w_mean
         mean_new = w_mean + delta / c_new
-        m2_new = w_m2 + delta * (q - mean_new)
+        if dense:
+            m2_new = w_m2 + jnp.outer(delta, q - mean_new)
+        else:
+            m2_new = w_m2 + delta * (q - mean_new)
         w_count = jnp.where(in_win, c_new, w_count)
         w_mean = jnp.where(in_win, mean_new, w_mean)
         w_m2 = jnp.where(in_win, m2_new, w_m2)
-        # Window close: regularized variance -> inverse mass (Stan's
+        # Window close: regularized (co)variance -> inverse mass (Stan's
         # shrinkage towards unit scale), reset the accumulator, restart
         # dual averaging anchored at the CURRENT step size (the new
         # metric changes the stable step size by O(1)).
         cnt = jnp.maximum(w_count, 1.0)
         var = w_m2 / jnp.maximum(cnt - 1.0, 1.0)
-        var_reg = (cnt / (cnt + 5.0)) * var + (5.0 / (cnt + 5.0)) * 1e-3
+        shrink = cnt / (cnt + 5.0)
+        if dense:
+            var_reg = shrink * var + (5.0 / (cnt + 5.0)) * 1e-3 * jnp.eye(
+                var.shape[0], dtype=var.dtype
+            )
+        else:
+            var_reg = shrink * var + (5.0 / (cnt + 5.0)) * 1e-3
         good = win_end & (w_count > 1.0)
-        inv_mass = jnp.where(good, jnp.maximum(var_reg, 1e-10), inv_mass)
+        if dense:
+            inv_mass = jnp.where(good, var_reg, inv_mass)
+        else:
+            inv_mass = jnp.where(good, jnp.maximum(var_reg, 1e-10), inv_mass)
         w_count = jnp.where(win_end, 0.0, w_count)
         w_mean = jnp.where(win_end, jnp.zeros_like(w_mean), w_mean)
         w_m2 = jnp.where(win_end, jnp.zeros_like(w_m2), w_m2)
@@ -339,13 +372,17 @@ def sample_nuts(
 ):
     """Run NUTS over a pytree of parameters.
 
-    ``adapt_mass`` (default True, r5): estimate a diagonal mass matrix in
+    ``adapt_mass`` (default True, r5): estimate a mass matrix in
     Stan-style expanding warmup windows (75-step init buffer, doubling
     windows, 50-step terminal buffer, scaled down for short warmups) with
-    dual averaging restarted at each window close. On posteriors with
-    scale-separated parameters — every GP hyperparameter posterior — this
-    is worth ~an order of magnitude in effective samples per second; set
-    ``False`` to reproduce the unit-metric r4 behaviour.
+    dual averaging restarted at each window close. ``True``/``"diag"``
+    estimates a diagonal metric (scale separation — measured min-ESS
+    3 -> 259 on a sd-(1, 0.01, 30) target); ``"dense"`` estimates the
+    full covariance metric (regularized sample covariance; O(dim^2)
+    state + one dim x dim Cholesky per trajectory — for the handful of
+    hyperparameters of a GP posterior this is free and it is the fix
+    for CORRELATED parameters, which no diagonal metric can whiten);
+    ``False`` reproduces the unit-metric r4 behaviour.
 
     ``dispatch_chunk`` (r5): split warmup and sampling into chunks of at
     most this many transitions PER DISPATCH (host-driven; one compiled
@@ -373,6 +410,7 @@ def sample_nuts(
         chain_inits = jax.device_put(chain_inits, sharding)
         chain_keys = jax.device_put(chain_keys, sharding)
 
+    dense_mass = adapt_mass == "dense"
     if adapt_mass:
         collect_np, wend_np = _warmup_schedule(num_warmup)
     else:
@@ -417,7 +455,9 @@ def sample_nuts(
             out.append((total - total % c, total % c))
         return out
 
-    carry = jax.vmap(lambda q: _warmup_carry(q, step_size))(chain_inits)
+    carry = jax.vmap(
+        lambda q: _warmup_carry(q, step_size, dense=dense_mass)
+    )(chain_inits)
     for start, size in _chunks(num_warmup):
         sl = slice(start, start + size)
         carry = warm_step(
