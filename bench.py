@@ -687,15 +687,21 @@ def bench_nuts(dtype):
         # metric use longer trajectories.
         # dispatch_chunk=48: a single NUTS program past ~2 minutes
         # faults the remote worker (measured r5); chunking bounds each
-        # dispatch with EXACT sampling parity.
+        # dispatch with EXACT sampling parity. adapt_mass="dense": the
+        # measured metric ladder at this budget is unit 0.33 / diag 0.48
+        # / dense 0.89 ESS/s (scripts/out/r5_nuts.log) — the three
+        # log-hyperparameters are CORRELATED, which only the dense
+        # metric whitens.
         sample_nuts(
             logpost, init, jax.random.PRNGKey(1), num_samples=128,
             num_warmup=192, num_chains=4, max_depth=6, dispatch_chunk=48,
+            adapt_mass="dense",
         )
         t0 = time.perf_counter()
         samples, accept = sample_nuts(
             logpost, init, jax.random.PRNGKey(0), num_samples=128,
             num_warmup=192, num_chains=4, max_depth=6, dispatch_chunk=48,
+            adapt_mass="dense",
         )
         wall = time.perf_counter() - t0
     finally:
