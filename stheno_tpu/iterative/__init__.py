@@ -1,4 +1,10 @@
 from .cg import batched_cg
+from .compensated import (
+    compensated_matmul,
+    df32_pairwise,
+    plain_noise_wall,
+    resolve_compensated,
+)
 from .matvec import kernel_matvec
 from .nlml import (
     cached_posterior_mean,
@@ -40,6 +46,10 @@ from .kron import (
 
 __all__ = [
     "batched_cg",
+    "compensated_matmul",
+    "df32_pairwise",
+    "plain_noise_wall",
+    "resolve_compensated",
     "kernel_matvec",
     "iterative_nlml",
     "eig_precond_state",
